@@ -1,0 +1,77 @@
+"""DiffGrad optimizer as an optax GradientTransformation.
+
+The reference trains both G and D with torch_optimizer.DiffGrad
+(lr, betas=(0.5, 0.9)) (histoGAN/histoGAN.py:28, 670-671;
+ReHistoGAN/rehistoGAN.py:677-678). DiffGrad is Adam with the first
+moment scaled by a "friction" coefficient
+``dfc = sigmoid(|g_prev - g|)`` (Dubey et al., 2019): updates shrink
+toward half-size where the gradient is locally stable.
+
+Update rule (matching torch_optimizer's implementation):
+
+    m_t = b1 m + (1-b1) g           v_t = b2 v + (1-b2) g^2
+    dfc = 1 / (1 + exp(-|g_prev - g|))
+    p  -= lr * sqrt(1-b2^t)/(1-b1^t) * dfc * m_t / (sqrt(v_t) + eps)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class DiffGradState(NamedTuple):
+    count: chex.Array
+    exp_avg: optax.Updates
+    exp_avg_sq: optax.Updates
+    previous_grad: optax.Updates
+
+
+def diffgrad(
+    learning_rate: float,
+    b1: float = 0.5,
+    b2: float = 0.9,
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    def init_fn(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return DiffGradState(
+            count=jnp.zeros([], jnp.int32),
+            exp_avg=zeros,
+            exp_avg_sq=jax.tree_util.tree_map(jnp.zeros_like, params),
+            previous_grad=jax.tree_util.tree_map(jnp.zeros_like, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        b1c = 1.0 - b1 ** count.astype(jnp.float32)
+        b2c = 1.0 - b2 ** count.astype(jnp.float32)
+        step_size = learning_rate * jnp.sqrt(b2c) / b1c
+
+        exp_avg = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1 - b1) * g, state.exp_avg, updates
+        )
+        exp_avg_sq = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1 - b2) * g * g, state.exp_avg_sq, updates
+        )
+
+        def _step(m, v, g, gp):
+            dfc = jax.nn.sigmoid(jnp.abs(gp - g))
+            return -step_size * dfc * m / (jnp.sqrt(v) + eps)
+
+        new_updates = jax.tree_util.tree_map(
+            _step, exp_avg, exp_avg_sq, updates, state.previous_grad
+        )
+        return new_updates, DiffGradState(
+            count=count,
+            exp_avg=exp_avg,
+            exp_avg_sq=exp_avg_sq,
+            previous_grad=updates,
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)

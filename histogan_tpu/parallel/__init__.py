@@ -1,0 +1,6 @@
+from histogan_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    replicate,
+    shard_batch,
+    local_shard_info,
+)

@@ -1,0 +1,78 @@
+"""Device mesh + sharding for data-parallel training.
+
+The reference has NO multi-device support (single CUDA device,
+histoGAN.py:268, CUDA assert at histoGAN/histoGAN.py:46-47). Here the
+training step is jitted over a 1-D ``('data',)`` mesh: the batch axis is
+sharded across chips, parameters are replicated, and XLA inserts the
+gradient ``psum`` over ICI automatically from the sharding annotations.
+
+The mesh is deliberately built as (data, model) capable — a 2-D mesh is
+a config change here, not a rewrite — but model parallelism is out of
+scope for this workload (≈20-40M params at capacity 16; see SURVEY.md
+§2 C28).
+
+Multi-host: call ``maybe_initialize_distributed()`` before anything
+else; each host feeds its local shard of the global batch
+(``local_shard_info``) and only process 0 writes checkpoints/results.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def maybe_initialize_distributed() -> None:
+    """Initialize jax.distributed iff a coordinator is configured
+    (no-op for the common single-host case)."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+        jax.distributed.initialize()
+
+
+def make_mesh(num_devices: Optional[int] = None,
+              axis_names: Tuple[str, ...] = ("data",)) -> Mesh:
+    """1-D data mesh over all (or the first N) devices."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    return Mesh(np.asarray(devices).reshape(shape), axis_names)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Place a pytree fully replicated on the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(tree: Any, mesh: Mesh, batch_axis: int = 0) -> Any:
+    """Shard every array's ``batch_axis`` over the 'data' mesh axis.
+    Arrays whose batch dim doesn't divide the mesh are replicated."""
+    n = mesh.shape["data"]
+
+    def _put(x):
+        spec = [None] * x.ndim
+        if x.shape[batch_axis] % n == 0:
+            spec[batch_axis] = "data"
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree_util.tree_map(_put, tree)
+
+
+def batch_spec(ndim: int, batch_axis: int = 0) -> P:
+    spec = [None] * ndim
+    spec[batch_axis] = "data"
+    return P(*spec)
+
+
+def local_shard_info(global_batch: int) -> Tuple[int, int, int]:
+    """(local_batch, shard_index, num_shards) for this host's data feed."""
+    n = jax.process_count()
+    assert global_batch % n == 0, (
+        f"global batch {global_batch} not divisible by host count {n}"
+    )
+    return global_batch // n, jax.process_index(), n

@@ -1,0 +1,197 @@
+"""Jitted ReHistoGAN (recoloring) training step.
+
+Reference: ReHistoGAN/rehistoGAN.py:895-1052 — alternating D/G with
+losses gamma*adv + alpha*Hellinger + beta*reconstruction + variance term,
+GP every 4th step. No EMA / path-length / style mixing in the reference
+recoloringTrainer.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from histogan_tpu.ops import filters, losses
+from histogan_tpu.ops.histogram import histogram_feature
+from histogan_tpu.train.state import ReHistoGANState
+
+
+class RecolorModels(NamedTuple):
+    ED: Any
+    H: Any
+    G: Any
+    D: Any
+
+
+def recolor_forward(models: RecolorModels, params, image_batch, hist_batch,
+                    noise, cfg):
+    """The 4-way ED/G dispatch (rehistoGAN.py:938-956). Returns images."""
+    h_w = models.H.apply({"params": params["H"]}, hist_batch)
+    if cfg.skip_conn_to_GAN and not cfg.internal_hist:
+        latent, rgb, pl1, pl2 = models.ED.apply(
+            {"params": params["ED"]}, image_batch, hist_batch
+        )
+        return models.G.apply(
+            {"params": params["G"]}, latent, rgb, h_w, noise, pl1, pl2
+        )
+    if cfg.skip_conn_to_GAN and cfg.internal_hist:
+        latent, rgb, pl1, pl2 = models.ED.apply(
+            {"params": params["ED"]}, image_batch, h_w
+        )
+        return models.G.apply(
+            {"params": params["G"]}, latent, rgb, h_w, noise, pl1, pl2
+        )
+    if cfg.internal_hist:
+        latent, rgb = models.ED.apply({"params": params["ED"]}, image_batch, h_w)
+        return models.G.apply({"params": params["G"]}, latent, rgb, h_w, noise)
+    latent, rgb = models.ED.apply({"params": params["ED"]}, image_batch, hist_batch)
+    return models.G.apply({"params": params["G"]}, latent, rgb, h_w, noise)
+
+
+def _rec_variant(rec_loss) -> str:
+    if rec_loss is None:
+        return "L1"
+    if rec_loss == "sobel":
+        return "1st gradient"
+    if rec_loss == "laplacian":
+        return "2nd gradient"
+    raise Exception("Unknown reconstruction loss!")
+
+
+def make_rehisto_train_step(models: RecolorModels, g_tx, d_tx, cfg):
+    """batch = {'d_images','d_hists','g_images','g_hists'} with leading
+    (A, B, ...); hyperparameters (alpha, beta, gamma) are jitted in
+    statically — the reference's step-100k switch recompiles once."""
+
+    accum = cfg.gradient_accumulate_every
+    gauss_kernel = filters.gaussian_kernel(15, 5.0)
+    rec_variant = _rec_variant(cfg.rec_loss)
+
+    def d_loss_fn(params_d, fake_images, real_images, apply_gp):
+        fake_logits, fake_q = models.D.apply({"params": params_d}, fake_images)
+        real_logits, real_q = models.D.apply({"params": params_d}, real_images)
+        divergence = losses.hinge_divergence(real_logits, fake_logits)
+        loss = divergence + jnp.mean(fake_q + real_q)
+        gp = jnp.zeros(())
+        if apply_gp:
+            gp = losses.gradient_penalty(
+                lambda imgs: models.D.apply({"params": params_d}, imgs)[0],
+                real_images,
+            )
+            loss = loss + gp
+        return loss, (divergence, gp)
+
+    def g_loss_fn(params_g, params_d, image_batch, hist_batch, key,
+                  alpha, beta, gamma):
+        noise = jax.random.uniform(
+            key, (image_batch.shape[0], cfg.image_size, cfg.image_size, 1)
+        )
+        generated = recolor_forward(models, params_g, image_batch, hist_batch,
+                                    noise, cfg)
+        fake_logits, _ = models.D.apply({"params": params_d}, generated)
+        d_loss = gamma * jnp.mean(fake_logits)
+
+        gen_hists = histogram_feature(
+            jax.nn.relu(generated), h=cfg.hist_bin, insz=cfg.hist_insz,
+            resizing=cfg.hist_resizing, method=cfg.hist_method,
+            sigma=cfg.hist_sigma,
+        )
+        hist_loss = losses.hellinger_histogram_loss(hist_batch, gen_hists, alpha)
+        rec_loss = beta * losses.reconstruction_loss(
+            image_batch, generated, rec_variant
+        )
+        loss = d_loss + hist_loss + rec_loss
+        var_loss = jnp.zeros(())
+        if cfg.variance_loss:
+            # faithful quirk: hist-of-hist (rehistoGAN.py:1020) — the hist
+            # TENSOR is fed back through a histogram block as an image
+            hist_as_img = jnp.transpose(jax.nn.relu(hist_batch), (0, 2, 3, 1))
+            input_hoh = histogram_feature(
+                hist_as_img, h=cfg.hist_bin, insz=cfg.hist_insz,
+                resizing=cfg.hist_resizing, method=cfg.hist_method,
+                sigma=cfg.hist_sigma,
+            )
+            var_loss = losses.variance_loss(
+                hist_batch, input_hoh, image_batch, generated, gauss_kernel, beta
+            )
+            loss = loss + var_loss
+        return loss, (d_loss, hist_loss, rec_loss, var_loss)
+
+    def train_step(state: ReHistoGANState, batch: Dict[str, jnp.ndarray], key,
+                   apply_gp: bool, alpha: float, beta: float, gamma: float):
+        k_d, k_g = jax.random.split(key)
+
+        # ------------- D phase
+        zero_d = jax.tree_util.tree_map(jnp.zeros_like, state.params_d)
+
+        def d_iter(grad_acc, inp):
+            d_images, d_hists, k = inp
+            noise = jax.random.uniform(
+                k, (d_images.shape[0], cfg.image_size, cfg.image_size, 1)
+            )
+            fake = jax.lax.stop_gradient(
+                recolor_forward(models, state.params_g, d_images, d_hists,
+                                noise, cfg)
+            )
+            (loss, (div, gp)), grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True
+            )(state.params_d, fake, d_images, apply_gp)
+            grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
+            return grad_acc, (div, gp)
+
+        d_keys = jax.random.split(k_d, accum)
+        d_grads, (divs, gps) = jax.lax.scan(
+            d_iter, zero_d, (batch["d_images"], batch["d_hists"], d_keys)
+        )
+        d_grads = jax.tree_util.tree_map(lambda g: g / accum, d_grads)
+        d_updates, opt_d = d_tx.update(d_grads, state.opt_d, state.params_d)
+        params_d = jax.tree_util.tree_map(jnp.add, state.params_d, d_updates)
+
+        # ------------- G phase
+        zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params_g)
+
+        def g_iter(grad_acc, inp):
+            g_images, g_hists, k = inp
+            (loss, aux), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+                state.params_g, params_d, g_images, g_hists, k,
+                alpha, beta, gamma,
+            )
+            grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
+            return grad_acc, aux
+
+        g_keys = jax.random.split(k_g, accum)
+        g_grads, (advs, hlosses, rlosses, vlosses) = jax.lax.scan(
+            g_iter, zero_g, (batch["g_images"], batch["g_hists"], g_keys)
+        )
+        g_grads = jax.tree_util.tree_map(lambda g: g / accum, g_grads)
+        if cfg.fixed_gan_weights:
+            # only ED learns (rehistoGAN.py:671-676)
+            g_grads = {
+                "ED": g_grads["ED"],
+                "H": jax.tree_util.tree_map(jnp.zeros_like, g_grads["H"]),
+                "G": jax.tree_util.tree_map(jnp.zeros_like, g_grads["G"]),
+            }
+        g_updates, opt_g = g_tx.update(g_grads, state.opt_g, state.params_g)
+        params_g = jax.tree_util.tree_map(jnp.add, state.params_g, g_updates)
+
+        metrics = {
+            "d_loss": jnp.mean(divs),
+            "g_loss": jnp.mean(advs),
+            "h_loss": jnp.mean(hlosses),
+            "r_loss": jnp.mean(rlosses),
+            "var_loss": jnp.mean(vlosses),
+            "gp_loss": gps[-1] if apply_gp else jnp.zeros(()),
+        }
+        new_state = state.replace(
+            step=state.step + 1, params_g=params_g, params_d=params_d,
+            opt_g=opt_g, opt_d=opt_d,
+        )
+        return new_state, metrics
+
+    return jax.jit(
+        train_step,
+        static_argnames=("apply_gp", "alpha", "beta", "gamma"),
+        donate_argnums=(0,),
+    )

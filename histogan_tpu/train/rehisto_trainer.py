@@ -1,0 +1,358 @@
+"""ReHistoGAN recoloringTrainer.
+
+Mirrors the reference recoloringTrainer surface
+(ReHistoGAN/rehistoGAN.py:721-1226): load / set_data_src(folder,
+sampling) / train(alpha,beta,gamma) / evaluate with upscale (BGU or
+pyramid) / downscale / post-recoloring paths / save / print_log, plus the
+pretrained-histoGAN head transplant (rehistoGAN.py:326-360).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from histogan_tpu.data.dataset import HistogramPool, ImageFolderDataset, TrainLoader
+from histogan_tpu.models import (
+    Discriminator,
+    HistVectorizer,
+    RecoloringEncoderDecoder,
+    RecoloringGAN,
+)
+from histogan_tpu.optim import diffgrad
+from histogan_tpu.parallel import make_mesh, replicate, shard_batch
+from histogan_tpu.train.checkpoint import CheckpointStore
+from histogan_tpu.train.rehisto_steps import (
+    RecolorModels,
+    make_rehisto_train_step,
+    recolor_forward,
+)
+from histogan_tpu.train.state import ReHistoGANState
+from histogan_tpu.train.trainer import NanException
+from histogan_tpu.utils.config import ReHistoGANConfig
+from histogan_tpu.utils.image_io import save_image_grid
+
+
+class RecoloringTrainer:
+    def __init__(self, name="default", results_dir="results", models_dir="models",
+                 image_size=256, network_capacity=16, transparent=False,
+                 batch_size=4, gradient_accumulate_every=1, lr=2e-4,
+                 save_every=1000, fq_layers=(), fq_dict_size=256, attn_layers=(),
+                 hist_method="inverse-quadratic", hist_resizing="sampling",
+                 hist_sigma=0.02, hist_bin=64, hist_insz=150,
+                 fixed_gan_weights=False, skip_conn_to_GAN=False,
+                 rec_loss="laplacian", initialize_gan=False, variance_loss=True,
+                 internal_hist=False, change_hyperparameters=False,
+                 change_hyperparameters_after=100000, latent_dim=512,
+                 style_depth=8, num_devices=None, seed=42, **_unused):
+        self.cfg = ReHistoGANConfig(
+            image_size=image_size, network_capacity=network_capacity,
+            latent_dim=latent_dim, style_depth=style_depth,
+            transparent=transparent,
+            fq_layers=tuple(int(x) for x in np.atleast_1d(fq_layers)) if len(fq_layers) else (),
+            fq_dict_size=fq_dict_size,
+            attn_layers=tuple(int(x) for x in np.atleast_1d(attn_layers)) if len(attn_layers) else (),
+            hist_bin=hist_bin, hist_insz=hist_insz, hist_method=hist_method,
+            hist_resizing=hist_resizing, hist_sigma=hist_sigma,
+            batch_size=batch_size,
+            gradient_accumulate_every=gradient_accumulate_every,
+            learning_rate=lr, save_every=save_every,
+            rec_loss=rec_loss, variance_loss=variance_loss,
+            internal_hist=internal_hist, skip_conn_to_GAN=skip_conn_to_GAN,
+            fixed_gan_weights=fixed_gan_weights, initialize_gan=initialize_gan,
+            change_hyperparameters=change_hyperparameters,
+            change_hyperparameters_after=change_hyperparameters_after,
+        )
+        self.name = name
+        self.results_dir = Path(results_dir)
+        self.models_dir = Path(models_dir)
+        (self.results_dir / name).mkdir(parents=True, exist_ok=True)
+        self.store = CheckpointStore(models_dir, name)
+        self.mesh = make_mesh(num_devices)
+        self._key = jax.random.PRNGKey(seed)
+        self.steps = 0
+        self.d_loss = self.g_loss = self.h_loss = self.r_loss = 0.0
+        self.var_loss = self.last_gp_loss = self.last_cr_loss = self.q_loss = 0.0
+        self.state: Optional[ReHistoGANState] = None
+        self.loader = None
+        self.pool: Optional[HistogramPool] = None
+        self._eval_cache: Dict[Any, Any] = {}
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # ------------------------------------------------------------ setup
+    def init_GAN(self) -> None:
+        cfg = self.cfg
+        self.ED = RecoloringEncoderDecoder(
+            cfg.image_size, cfg.network_capacity, cfg.hist_bin, cfg.latent_dim,
+            cfg.style_depth, cfg.skip_conn_to_GAN, cfg.internal_hist,
+        )
+        self.H = HistVectorizer(cfg.hist_bin, cfg.latent_dim, cfg.style_depth)
+        self.G = RecoloringGAN(cfg.image_size, cfg.latent_dim,
+                               cfg.network_capacity, cfg.transparent)
+        self.D = Discriminator(cfg.image_size, cfg.network_capacity,
+                               cfg.fq_layers, cfg.fq_dict_size,
+                               cfg.attn_layers, cfg.transparent)
+        self.models = RecolorModels(self.ED, self.H, self.G, self.D)
+
+        ks = jax.random.split(self._next_key(), 5)
+        size = cfg.image_size
+        img = jnp.zeros((1, size, size, 3))
+        hist = jnp.zeros((1, 3, cfg.hist_bin, cfg.hist_bin))
+        h_w = jnp.zeros((1, cfg.latent_dim))
+        noise = jnp.zeros((1, size, size, 1))
+
+        ed_hist_arg = h_w if cfg.internal_hist else hist
+        ed_out = self.ED.init(ks[0], img, ed_hist_arg)
+        ed_params = ed_out["params"]
+        # probe ED output shapes for G init
+        ed_apply = self.ED.apply(ed_out, img, ed_hist_arg)
+        if cfg.skip_conn_to_GAN:
+            latent, rgb, pl1, pl2 = ed_apply
+        else:
+            latent, rgb = ed_apply
+            pl1 = pl2 = None
+        params_g = {
+            "ED": ed_params,
+            "H": self.H.init(ks[1], hist)["params"],
+            "G": self.G.init(ks[2], latent, rgb, h_w, noise, pl1, pl2)["params"],
+        }
+        params_d = self.D.init(ks[3], img)["params"]
+
+        self.g_tx = diffgrad(cfg.learning_rate, 0.5, 0.9)
+        self.d_tx = diffgrad(cfg.learning_rate, 0.5, 0.9)
+        state = ReHistoGANState(
+            step=jnp.zeros((), jnp.int32),
+            params_g=params_g, params_d=params_d,
+            opt_g=self.g_tx.init(params_g), opt_d=self.d_tx.init(params_d),
+        )
+        self.state = replicate(state, self.mesh)
+        self._train_step = make_rehisto_train_step(
+            self.models, self.g_tx, self.d_tx, cfg
+        )
+
+    def load_histogan_head(self, histogan_trainer) -> None:
+        """Transplant a pretrained histoGAN's EMA head: GE.blocks[-2:] ->
+        G.blocks, HE -> H (rehistoGAN.py:355-357). Pass a loaded
+        histogan Trainer."""
+        assert self.state is not None, "init_GAN first"
+        ema = jax.device_get(histogan_trainer.state.ema)
+        g_src = ema["G"]
+        n = histogan_trainer.cfg.num_layers
+        params_g = jax.device_get(self.state.params_g)
+        params_g["G"] = dict(params_g["G"])
+        params_g["G"]["blocks_0"] = g_src[f"blocks_{n - 2}"]
+        params_g["G"]["blocks_1"] = g_src[f"blocks_{n - 1}"]
+        params_g["H"] = ema["H"]
+        self.state = replicate(
+            jax.device_get(self.state).replace(params_g=params_g), self.mesh
+        )
+
+    # ------------------------------------------------------------- data
+    def set_data_src(self, folder: str, sampling: bool = True) -> None:
+        cfg = self.cfg
+        self.dataset = ImageFolderDataset(folder, cfg.image_size, cfg.transparent)
+        self.pool = HistogramPool(
+            self.dataset.paths, cfg.hist_insz, cfg.hist_bin, cfg.hist_method,
+            cfg.hist_resizing, cfg.hist_sigma, cfg.transparent,
+        )
+        self.loader = TrainLoader(
+            self.dataset, self.pool, cfg.batch_size,
+            cfg.gradient_accumulate_every, seed=11,
+            self_hist=not sampling, include_g_images=True,
+        )
+        self._eval_rng = np.random.default_rng(99)
+
+    # ------------------------------------------------------------ train
+    def train(self, alpha: float = 32.0, beta: float = 1.5, gamma: float = 4.0):
+        assert self.loader is not None, (
+            "You must first initialize the data source with "
+            "`.set_data_src(<folder of images>)`"
+        )
+        if self.state is None:
+            self.init_GAN()
+        if (self.steps >= self.cfg.change_hyperparameters_after
+                and self.cfg.change_hyperparameters):
+            alpha, gamma, beta = 8.0, 2.0, 1.0  # rehistoGAN.py:900-905
+
+        apply_gp = self.steps % 4 == 0
+        batch = next(self.loader)
+        batch = shard_batch(batch, self.mesh, batch_axis=1)
+        self.state, metrics = self._train_step(
+            self.state, batch, self._next_key(), apply_gp=apply_gp,
+            alpha=float(alpha), beta=float(beta), gamma=float(gamma),
+        )
+        m = {k: float(v) for k, v in metrics.items()}
+        self.d_loss, self.g_loss = m["d_loss"], m["g_loss"]
+        self.h_loss, self.r_loss = m["h_loss"], m["r_loss"]
+        self.var_loss = m["var_loss"]
+        if apply_gp:
+            self.last_gp_loss = m["gp_loss"]
+
+        checkpoint_num = self.steps // self.cfg.save_every
+        if math.isnan(self.g_loss) or math.isnan(self.d_loss):
+            print(
+                f"NaN detected for generator or discriminator. "
+                f"Loading from checkpoint #{checkpoint_num}"
+            )
+            self.load(checkpoint_num)
+            raise NanException
+
+        if jax.process_index() == 0:
+            if self.steps % self.cfg.save_every == 0:
+                self.save(checkpoint_num)
+            if self.steps % 1000 == 0 or (self.steps % 100 == 0 and self.steps < 2500):
+                self.evaluate(self.steps // 1000,
+                              triple_hist=not self.cfg.fixed_gan_weights)
+        self.steps += 1
+
+    # ------------------------------------------------------------- eval
+    def _recolor(self, image_batch: jnp.ndarray, hist_batch: jnp.ndarray) -> jnp.ndarray:
+        key = ("recolor", image_batch.shape, hist_batch.shape)
+        if key not in self._eval_cache:
+            self._eval_cache[key] = jax.jit(
+                lambda p, img, hist, noise: recolor_forward(
+                    self.models, p, img, hist, noise, self.cfg
+                )
+            )
+        noise = jax.random.uniform(
+            self._next_key(),
+            (image_batch.shape[0], image_batch.shape[1], image_batch.shape[2], 1),
+        )
+        return self._eval_cache[key](
+            self.state.params_g, image_batch, hist_batch, noise
+        )
+
+    def evaluate(self, num: int = 0, image_batch=None, hist_batch=None,
+                 triple_hist: bool = False, double_hist: bool = False,
+                 resizing=None, resizing_method=None, swapping_levels: int = 1,
+                 pyramid_levels: int = 5, level_blending: bool = False,
+                 original_size=None, input_image_name=None, original_image=None,
+                 post_recoloring: bool = False, save_input: bool = True):
+        cfg = self.cfg
+        if hist_batch is None or image_batch is None:
+            assert self.pool is not None, "set_data_src first"
+            rng = self._eval_rng
+            idx = rng.integers(0, len(self.dataset), size=4)
+            image_batch = jnp.asarray(
+                np.stack([self.dataset.get_image(int(i), rng) for i in idx])
+            )
+            img_bt_sz = image_batch.shape[0]
+            hist_batch = jnp.asarray(self.pool.sample_interpolated(rng, 4))
+            if triple_hist:
+                image_batch = jnp.concatenate([image_batch] * 3, axis=0)
+                hist_batch = jnp.asarray(
+                    np.concatenate([np.asarray(hist_batch),
+                                    self.pool.sample_interpolated(rng, 4),
+                                    self.pool.sample_interpolated(rng, 4)])
+                )
+            elif double_hist:
+                image_batch = jnp.concatenate([image_batch] * 2, axis=0)
+                hist_batch = jnp.asarray(
+                    np.concatenate([np.asarray(hist_batch),
+                                    self.pool.sample_interpolated(rng, 4)])
+                )
+        else:
+            image_batch = jnp.asarray(image_batch)
+            hist_batch = jnp.asarray(hist_batch)
+            img_bt_sz = image_batch.shape[0]
+
+        generated = self._recolor(image_batch, hist_batch)
+        generated = jnp.clip(generated, 0.0, 1.0)
+
+        ext = "jpg" if not cfg.transparent else "png"
+        if double_hist or triple_hist:
+            num_rows = img_bt_sz
+        else:
+            num_rows = int(np.ceil(np.sqrt(hist_batch.shape[0])))
+        out_dir = self.results_dir / self.name
+        output_name = out_dir / f"{num}-generated.{ext}"
+        save_image_grid(np.asarray(generated), output_name, nrow=num_rows)
+
+        if resizing is not None:
+            if resizing == "upscaling":
+                print("Upsampling")
+                from histogan_tpu.data.dataset import load_rgb
+
+                reference_img = load_rgb(input_image_name)
+                if resizing_method == "BGU":
+                    from histogan_tpu.post.bgu import bgu_upsample
+
+                    out = bgu_upsample(reference_img, np.asarray(generated[0]))
+                    save_image_grid(out[None], output_name, nrow=1)
+                elif resizing_method == "pyramid":
+                    from histogan_tpu.post.pyramid import pyramid_upsampling
+
+                    out = pyramid_upsampling(
+                        np.asarray(generated[0]), reference_img,
+                        levels=pyramid_levels, swapping_levels=swapping_levels,
+                        blending=level_blending,
+                    )
+                    save_image_grid(np.clip(out, 0, 1)[None], output_name, nrow=1)
+            elif resizing == "downscaling" and original_size is not None:
+                print("Resizing")
+                from PIL import Image
+
+                img = Image.open(output_name)
+                img = img.resize((original_size[0], original_size[1]))
+                img.save(output_name)
+
+        if post_recoloring:
+            print("Post-recoloring")
+            from histogan_tpu.post.mkl import color_transfer_MKL
+
+            target = np.asarray(generated[0])
+            result = color_transfer_MKL(original_image, target)
+            save_image_grid(result[None], output_name, nrow=1)
+
+        if save_input:
+            save_image_grid(
+                np.asarray(image_batch[:img_bt_sz]),
+                out_dir / f"{num}-input.{ext}",
+                nrow=img_bt_sz if (double_hist or triple_hist) else num_rows,
+            )
+        return generated
+
+    # ------------------------------------------------------ persistence
+    def save(self, num: int) -> None:
+        assert self.state is not None
+        self.store.save(jax.device_get(self.state), num)
+        self.cfg.write_config(self.store.config_path)
+
+    def load(self, num: int = -1) -> int:
+        self.cfg = self.cfg.load_config(self.store.config_path)
+        self.init_GAN()
+        name = num
+        if num == -1:
+            latest = self.store.latest()
+            if latest is None:
+                return -1
+            name = latest
+            print(f"continuing from previous epoch - {name}")
+        self.steps = name * self.cfg.save_every
+        template = jax.device_get(self.state)
+        self.state = replicate(self.store.restore(name, template), self.mesh)
+        return 0
+
+    def clear(self) -> None:
+        self.store.clear()
+        import shutil
+
+        shutil.rmtree(self.results_dir / self.name, ignore_errors=True)
+        (self.results_dir / self.name).mkdir(parents=True, exist_ok=True)
+
+    def print_log(self) -> None:
+        print(
+            f"\nG: {self.g_loss:.2f} | H: {self.h_loss:.2f} | "
+            f"D: {self.d_loss:.2f} | R: {self.r_loss:.2f} "
+            f"| V: {self.var_loss:.2f} | GP: {self.last_gp_loss:.2f}"
+            f" | CR: {self.last_cr_loss:.2f} | Q: {self.q_loss:.2f}"
+        )

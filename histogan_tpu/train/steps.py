@@ -1,0 +1,263 @@
+"""Jitted HistoGAN training step (the hot path).
+
+Reference semantics: histoGAN/histoGAN.py:853-1020 — alternating D/G
+phases with gradient accumulation, hinge divergence, R1-style gradient
+penalty every 4th step, Hellinger histogram loss, path-length
+regularization every 32nd step, EMA schedule, NaN surfacing.
+
+TPU-first design:
+- ONE jit per (apply_gp, apply_pl) flag combo (3 variants reachable:
+  32 % 4 == 0) instead of per-op dispatch; the whole step — both phases,
+  both optimizers, EMA — is a single XLA program.
+- Gradient accumulation is a ``lax.scan`` over a leading accumulation
+  axis; with data parallelism over the mesh the batch axis is sharded
+  and XLA inserts the gradient psum over ICI.
+- All randomness is explicit key-splitting; sampling distributions match
+  the reference's mixed_list/noise_list/image_noise
+  (histoGAN/histoGAN.py:166-190).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from histogan_tpu.ops import losses
+from histogan_tpu.ops.diffaugment import aug_wrapper
+from histogan_tpu.ops.histogram import histogram_feature
+from histogan_tpu.train.state import HistoGANState
+
+EPS = 1e-8  # histoGAN/histoGAN.py:53
+
+
+class Models(NamedTuple):
+    S: Any
+    H: Any
+    G: Any
+    D: Any
+
+
+def sample_w_rows(S, params_s, key, batch: int, num_rows: int, latent_dim: int,
+                  mixed_prob: float) -> jnp.ndarray:
+    """Sample per-block w vectors: with prob ``mixed_prob`` style-mix two
+    z's at a uniform cutoff (mixed_list, histoGAN/histoGAN.py:174-176),
+    else one z for all rows (noise_list)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    z1 = jax.random.normal(k1, (batch, latent_dim))
+    z2 = jax.random.normal(k2, (batch, latent_dim))
+    use_mixed = jax.random.uniform(k3, ()) < mixed_prob
+    tt = jax.random.randint(k4, (), 0, num_rows)  # int(rand*layers)
+    cutoff = jnp.where(use_mixed, tt, num_rows)
+    w1 = S.apply({"params": params_s}, z1)
+    w2 = S.apply({"params": params_s}, z2)
+    rows = jnp.arange(num_rows)[None, :, None]
+    return jnp.where(rows < cutoff, w1[:, None, :], w2[:, None, :])
+
+
+def image_noise(key, batch: int, im_size: int) -> jnp.ndarray:
+    """U[0,1) noise image (histoGAN/histoGAN.py:188-190), NHWC."""
+    return jax.random.uniform(key, (batch, im_size, im_size, 1))
+
+
+def hist_rows(H, params_h, hist_batch: jnp.ndarray) -> jnp.ndarray:
+    """Project histogram and duplicate into the 2 hist-driven rows
+    (histoGAN/histoGAN.py:900-902)."""
+    h_w = H.apply({"params": params_h}, hist_batch)
+    return jnp.stack([h_w, h_w], axis=1)
+
+
+def generate(models: Models, params_g, hist_batch, key, cfg) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full G forward from fresh latents; returns (images, w_styles)."""
+    k_style, k_noise = jax.random.split(key)
+    batch = hist_batch.shape[0]
+    w_styles = sample_w_rows(
+        models.S, params_g["S"], k_style, batch, cfg.num_layers - 2,
+        cfg.latent_dim, cfg.mixed_prob,
+    )
+    h_rows = hist_rows(models.H, params_g["H"], hist_batch)
+    noise = image_noise(k_noise, batch, cfg.image_size)
+    images = models.G.apply({"params": params_g["G"]}, w_styles, h_rows, noise)
+    return images, w_styles, h_rows, noise
+
+
+def _d_variables(params_d, vq_stats):
+    v = {"params": params_d}
+    if vq_stats:
+        v["vq_stats"] = vq_stats
+    return v
+
+
+def _apply_d(models: Models, params_d, vq_stats, images, key, cfg, train_stats: bool):
+    """Discriminator with optional batch augmentation; returns
+    (logits, qloss, new_vq_stats)."""
+    if cfg.aug_prob > 0.0:
+        images = aug_wrapper(key, images, cfg.aug_prob, cfg.aug_types)
+    variables = _d_variables(params_d, vq_stats)
+    if vq_stats and train_stats:
+        (logits, qloss), updated = models.D.apply(
+            variables, images, train=True, mutable=["vq_stats"]
+        )
+        return logits, qloss, updated["vq_stats"]
+    logits, qloss = models.D.apply(variables, images)
+    return logits, qloss, vq_stats
+
+
+def make_train_step(models: Models, g_tx, d_tx, cfg):
+    """Build the jitted train step.
+
+    Returns step(state, batch, key, apply_gp, apply_pl) -> (state, metrics)
+    where batch = {'d_images': (A,B,H,W,3), 'd_hists': (A,B,3,h,h),
+    'g_hists': (A,B,3,h,h)} and A = cfg.gradient_accumulate_every.
+    """
+
+    accum = cfg.gradient_accumulate_every
+
+    # ----------------------------------------------------------------- D
+    def d_loss_fn(params_d, vq_stats, fake_images, real_images, keys, apply_gp):
+        k_aug_f, k_aug_r = keys
+        fake_logits, fake_q, vq_stats = _apply_d(
+            models, params_d, vq_stats, fake_images, k_aug_f, cfg, True
+        )
+
+        def real_logits_of(imgs):
+            logits, real_q, _ = _apply_d(
+                models, params_d, vq_stats, imgs, k_aug_r, cfg, False
+            )
+            return logits, real_q
+
+        real_logits, real_q, vq_stats2 = _apply_d(
+            models, params_d, vq_stats, real_images, k_aug_r, cfg, True
+        )
+        divergence = losses.hinge_divergence(real_logits, fake_logits)
+        quantize_loss = jnp.mean(fake_q + real_q)
+        loss = divergence + quantize_loss
+        gp = jnp.zeros(())
+        if apply_gp:
+            gp = losses.gradient_penalty(
+                lambda imgs: real_logits_of(imgs)[0], real_images
+            )
+            loss = loss + gp
+        return loss, (divergence, quantize_loss, gp, vq_stats2)
+
+    # ----------------------------------------------------------------- G
+    def g_loss_fn(params_g, params_d, vq_stats, hist_batch, pl_mean, keys, apply_pl):
+        k_gen, k_aug, k_pl = keys
+        images, w_styles, h_rows, noise = generate(models, params_g, hist_batch, k_gen, cfg)
+        fake_logits, _, vq_stats = _apply_d(
+            models, params_d, vq_stats, images, k_aug, cfg, True
+        )
+        gen_hists = histogram_feature(
+            jax.nn.relu(images),
+            h=cfg.hist_bin, insz=cfg.hist_insz, resizing=cfg.hist_resizing,
+            method=cfg.hist_method, sigma=cfg.hist_sigma,
+        )
+        hist_loss = losses.hellinger_histogram_loss(hist_batch, gen_hists, cfg.alpha)
+        adv_loss = jnp.mean(fake_logits)
+        loss = adv_loss + hist_loss
+        avg_pl = jnp.zeros(())
+        if apply_pl:
+            # path-length reg (histoGAN/histoGAN.py:965-975)
+            std = 0.1 / (jnp.std(w_styles, axis=0, keepdims=True, ddof=1) + EPS)
+            w2 = w_styles + jax.random.normal(k_pl, w_styles.shape) / (std + EPS)
+            pl_images = models.G.apply({"params": params_g["G"]}, w2, h_rows, noise)
+            pl_lengths = losses.path_length_lengths(pl_images, images)
+            avg_pl = jnp.mean(pl_lengths)
+            loss = loss + losses.path_length_penalty(pl_lengths, pl_mean)
+        return loss, (adv_loss, hist_loss, avg_pl, vq_stats)
+
+    def train_step(state: HistoGANState, batch: Dict[str, jnp.ndarray], key,
+                   apply_gp: bool, apply_pl: bool):
+        k_d, k_g = jax.random.split(key)
+
+        # ---------------- D phase: scan over accumulation axis
+        zero_grads_d = jax.tree_util.tree_map(jnp.zeros_like, state.params_d)
+
+        def d_iter(carry, inp):
+            grad_acc, vq_stats = carry
+            d_images, d_hists, k = inp
+            k_gen, k_aug_f, k_aug_r = jax.random.split(k, 3)
+            fake_images, _, _, _ = generate(
+                models, state.params_g, d_hists, k_gen, cfg
+            )
+            fake_images = jax.lax.stop_gradient(fake_images)
+            (loss, (div, qloss, gp, vq_stats)), grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True
+            )(state.params_d, vq_stats, fake_images, d_images,
+              (k_aug_f, k_aug_r), apply_gp)
+            grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
+            return (grad_acc, vq_stats), (div, qloss, gp)
+
+        d_keys = jax.random.split(k_d, accum)
+        (d_grads, vq_stats), (divs, qlosses, gps) = jax.lax.scan(
+            d_iter, (zero_grads_d, state.vq_stats),
+            (batch["d_images"], batch["d_hists"], d_keys),
+        )
+        d_grads = jax.tree_util.tree_map(lambda g: g / accum, d_grads)
+        d_updates, opt_d = d_tx.update(d_grads, state.opt_d, state.params_d)
+        params_d = jax.tree_util.tree_map(jnp.add, state.params_d, d_updates)
+
+        # ---------------- G phase
+        zero_grads_g = jax.tree_util.tree_map(jnp.zeros_like, state.params_g)
+
+        def g_iter(carry, inp):
+            grad_acc, vq_stats, _ = carry
+            g_hists, k = inp
+            ks = jax.random.split(k, 3)
+            (loss, (adv, hloss, avg_pl, vq_stats)), grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True
+            )(state.params_g, params_d, vq_stats, g_hists, state.pl_mean,
+              tuple(ks), apply_pl)
+            grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
+            return (grad_acc, vq_stats, avg_pl), (adv, hloss)
+
+        g_keys = jax.random.split(k_g, accum)
+        (g_grads, vq_stats, avg_pl), (advs, hlosses) = jax.lax.scan(
+            g_iter, (zero_grads_g, vq_stats, jnp.zeros(())),
+            (batch["g_hists"], g_keys),
+        )
+        g_grads = jax.tree_util.tree_map(lambda g: g / accum, g_grads)
+        g_updates, opt_g = g_tx.update(g_grads, state.opt_g, state.params_g)
+        params_g = jax.tree_util.tree_map(jnp.add, state.params_g, g_updates)
+
+        # ---------------- moving averages (histoGAN/histoGAN.py:991-1000)
+        step = state.step
+        pl_mean = state.pl_mean
+        if apply_pl:
+            pl_mean = jnp.where(
+                jnp.isnan(avg_pl), pl_mean, pl_mean * 0.99 + 0.01 * avg_pl
+            )
+
+        do_ema = (step > 20000) & (step % 10 == 0)
+        do_reset = (step <= 25000) & (step % 1000 == 2)
+
+        def _ema(e, p):
+            e2 = jnp.where(do_ema, e * 0.995 + 0.005 * p, e)
+            return jnp.where(do_reset, p, e2)
+
+        ema = jax.tree_util.tree_map(_ema, state.ema, params_g)
+
+        metrics = {
+            "d_loss": jnp.mean(divs),
+            "g_loss": jnp.mean(advs),
+            "h_loss": jnp.mean(hlosses),
+            "q_loss": jnp.mean(qlosses),
+            "gp_loss": gps[-1] if apply_gp else jnp.zeros(()),
+            "pl_mean": pl_mean,
+        }
+        new_state = state.replace(
+            step=step + 1,
+            params_g=params_g,
+            params_d=params_d,
+            ema=ema,
+            opt_g=opt_g,
+            opt_d=opt_d,
+            pl_mean=pl_mean,
+            vq_stats=vq_stats,
+        )
+        return new_state, metrics
+
+    return jax.jit(train_step, static_argnames=("apply_gp", "apply_pl"),
+                   donate_argnums=(0,))

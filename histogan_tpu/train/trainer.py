@@ -1,0 +1,346 @@
+"""HistoGAN Trainer: host-side driver around the jitted train step.
+
+Mirrors the reference Trainer's public surface
+(histoGAN/histoGAN.py:718-1139): load / clear / set_data_src / train /
+evaluate / generate_truncated / print_log / save, with the same
+periodic-save, periodic-eval, EMA-sampling and NaN-rollback semantics.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from histogan_tpu.data.dataset import HistogramPool, ImageFolderDataset, TrainLoader
+from histogan_tpu.models import Discriminator, Generator, HistVectorizer, StyleVectorizer
+from histogan_tpu.optim import diffgrad
+from histogan_tpu.parallel import make_mesh, replicate, shard_batch
+from histogan_tpu.train.checkpoint import CheckpointStore
+from histogan_tpu.train.state import HistoGANState
+from histogan_tpu.train.steps import Models, make_train_step
+from histogan_tpu.utils.config import HistoGANConfig
+from histogan_tpu.utils.image_io import save_image_grid
+
+
+class NanException(Exception):
+    pass
+
+
+class Trainer:
+    def __init__(self, name="default", results_dir="results", models_dir="models",
+                 image_size=128, network_capacity=16, transparent=False,
+                 batch_size=4, mixed_prob=0.9, gradient_accumulate_every=1,
+                 lr=2e-4, save_every=1000, trunc_psi=0.6,
+                 fq_layers=(), fq_dict_size=256, attn_layers=(),
+                 hist_method="inverse-quadratic", hist_resizing="sampling",
+                 hist_sigma=0.02, hist_bin=64, hist_insz=150,
+                 aug_prob=0.0, dataset_aug_prob=0.0, aug_types=None,
+                 latent_dim=512, style_depth=8, num_devices=None, seed=42,
+                 **_unused):
+        if aug_types is None:
+            aug_types = ("translation", "cutout")
+        self.cfg = HistoGANConfig(
+            image_size=image_size, network_capacity=network_capacity,
+            latent_dim=latent_dim, style_depth=style_depth,
+            transparent=transparent, fq_layers=tuple(np.atleast_1d(fq_layers).astype(int)) if len(fq_layers) else (),
+            fq_dict_size=fq_dict_size,
+            attn_layers=tuple(np.atleast_1d(attn_layers).astype(int)) if len(attn_layers) else (),
+            hist_bin=hist_bin, hist_insz=hist_insz, hist_method=hist_method,
+            hist_resizing=hist_resizing, hist_sigma=hist_sigma,
+            batch_size=batch_size, gradient_accumulate_every=gradient_accumulate_every,
+            learning_rate=lr, mixed_prob=mixed_prob, aug_prob=aug_prob,
+            aug_types=tuple(aug_types), dataset_aug_prob=dataset_aug_prob,
+            save_every=save_every, trunc_psi=trunc_psi,
+        )
+        self.name = name
+        self.results_dir = Path(results_dir)
+        self.models_dir = Path(models_dir)
+        (self.results_dir / name).mkdir(parents=True, exist_ok=True)
+        self.store = CheckpointStore(models_dir, name)
+
+        self.mesh = make_mesh(num_devices)
+        self._key = jax.random.PRNGKey(seed)
+        self.steps = 0
+        self.av: Optional[np.ndarray] = None
+
+        # log attrs (reference print_log surface)
+        self.d_loss = self.g_loss = self.h_loss = 0.0
+        self.last_gp_loss = self.last_cr_loss = self.q_loss = 0.0
+        self.pl_mean = 0.0
+
+        self.state: Optional[HistoGANState] = None
+        self.loader: Optional[TrainLoader] = None
+        self.pool: Optional[HistogramPool] = None
+        self._gen_cache: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------ setup
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def init_GAN(self) -> None:
+        cfg = self.cfg
+        self.S = StyleVectorizer(cfg.latent_dim, cfg.style_depth)
+        self.H = HistVectorizer(cfg.hist_bin, cfg.latent_dim, cfg.style_depth)
+        self.G = Generator(cfg.image_size, cfg.latent_dim, cfg.network_capacity,
+                           cfg.transparent)
+        self.D = Discriminator(cfg.image_size, cfg.network_capacity,
+                               cfg.fq_layers, cfg.fq_dict_size,
+                               cfg.attn_layers, cfg.transparent)
+        self.models = Models(self.S, self.H, self.G, self.D)
+
+        k = self._next_key()
+        ks = jax.random.split(k, 4)
+        nl = cfg.num_layers
+        dummy_w = jnp.zeros((1, nl - 2, cfg.latent_dim))
+        dummy_h = jnp.zeros((1, 2, cfg.latent_dim))
+        dummy_noise = jnp.zeros((1, cfg.image_size, cfg.image_size, 1))
+        dummy_img = jnp.zeros(
+            (1, cfg.image_size, cfg.image_size, 4 if cfg.transparent else 3)
+        )
+        dummy_hist = jnp.zeros((1, 3, cfg.hist_bin, cfg.hist_bin))
+
+        params_g = {
+            "S": self.S.init(ks[0], jnp.zeros((1, cfg.latent_dim)))["params"],
+            "H": self.H.init(ks[1], dummy_hist)["params"],
+            "G": self.G.init(ks[2], dummy_w, dummy_h, dummy_noise)["params"],
+        }
+        d_vars = self.D.init(ks[3], dummy_img)
+        params_d = d_vars["params"]
+        vq_stats = d_vars.get("vq_stats", {})
+
+        self.g_tx = diffgrad(cfg.learning_rate, 0.5, 0.9)
+        self.d_tx = diffgrad(cfg.learning_rate, 0.5, 0.9)
+        state = HistoGANState(
+            step=jnp.zeros((), jnp.int32),
+            params_g=params_g,
+            params_d=params_d,
+            ema=jax.tree_util.tree_map(jnp.copy, params_g),  # reset_parameter_averaging
+            opt_g=self.g_tx.init(params_g),
+            opt_d=self.d_tx.init(params_d),
+            pl_mean=jnp.zeros(()),
+            vq_stats=vq_stats,
+        )
+        self.state = replicate(state, self.mesh)
+        self._train_step = make_train_step(self.models, self.g_tx, self.d_tx, cfg)
+        self.av = None
+
+    # ------------------------------------------------------------- data
+    def set_data_src(self, folder: str) -> None:
+        cfg = self.cfg
+        self.dataset = ImageFolderDataset(
+            folder, cfg.image_size, cfg.transparent, cfg.dataset_aug_prob
+        )
+        self.pool = HistogramPool(
+            self.dataset.paths, cfg.hist_insz, cfg.hist_bin, cfg.hist_method,
+            cfg.hist_resizing, cfg.hist_sigma, cfg.transparent,
+        )
+        self.loader = TrainLoader(
+            self.dataset, self.pool, cfg.batch_size,
+            cfg.gradient_accumulate_every, seed=int(jax.process_index()) + 7,
+        )
+        self._eval_rng = np.random.default_rng(1234)
+
+    # ------------------------------------------------------------ train
+    def train(self, alpha: float = 2.0) -> None:
+        assert self.loader is not None, (
+            "You must first initialize the data source with "
+            "`.set_data_src(<folder of images>)`"
+        )
+        if self.state is None:
+            self.init_GAN()
+        if alpha != self.cfg.alpha:
+            import dataclasses
+
+            self.cfg = dataclasses.replace(self.cfg, alpha=alpha)
+            self._train_step = make_train_step(self.models, self.g_tx, self.d_tx, self.cfg)
+
+        apply_gp = self.steps % 4 == 0
+        apply_pl = self.steps % 32 == 0
+
+        batch = next(self.loader)
+        batch = shard_batch(batch, self.mesh, batch_axis=1)
+        self.state, metrics = self._train_step(
+            self.state, batch, self._next_key(), apply_gp=apply_gp, apply_pl=apply_pl
+        )
+
+        m = {k: float(v) for k, v in metrics.items()}
+        self.d_loss = m["d_loss"]
+        self.g_loss = m["g_loss"]
+        self.h_loss = m["h_loss"]
+        self.q_loss = m["q_loss"]
+        if apply_gp:
+            self.last_gp_loss = m["gp_loss"]
+        self.pl_mean = m["pl_mean"]
+
+        checkpoint_num = self.steps // self.cfg.save_every
+        if math.isnan(self.g_loss) or math.isnan(self.d_loss):
+            print(
+                f"NaN detected for generator or discriminator. "
+                f"Loading from checkpoint #{checkpoint_num}"
+            )
+            self.load(checkpoint_num)
+            raise NanException
+
+        if jax.process_index() == 0:
+            if self.steps % self.cfg.save_every == 0:
+                self.save(checkpoint_num)
+            if self.steps % 1000 == 0 or (self.steps % 100 == 0 and self.steps < 2500):
+                self.evaluate(self.steps // 1000)
+
+        self.steps += 1
+        self.av = None
+
+    # ------------------------------------------------------------- eval
+    def _eval_hist_batch(self, n: int = 4) -> jnp.ndarray:
+        assert self.pool is not None, "set_data_src first"
+        idx = self._eval_rng.integers(0, len(self.pool), size=n)
+        return jnp.asarray(self.pool.self_hist(idx))
+
+    def evaluate(self, num: int = 0, hist_batch=None, num_image_tiles: int = 4,
+                 latents=None, n=None, save_noise_latent: bool = False,
+                 load_noise_file=None, load_latent_file=None) -> np.ndarray:
+        cfg = self.cfg
+        if hist_batch is None:
+            hist_batch = self._eval_hist_batch(4)
+        num_rows = num_image_tiles
+        ext = "jpg" if not cfg.transparent else "png"
+
+        if latents is None and n is None:
+            if load_noise_file is not None:
+                n = jnp.asarray(np.load(load_noise_file))
+            else:
+                n = jax.random.uniform(
+                    self._next_key(),
+                    (num_rows ** 2, cfg.image_size, cfg.image_size, 1),
+                )
+            if load_latent_file is not None:
+                latents = jnp.asarray(np.load(load_latent_file))
+            else:
+                latents = jax.random.normal(
+                    self._next_key(), (num_rows ** 2, cfg.latent_dim)
+                )
+
+        images = self.generate_truncated(
+            self._ema_params(), hist_batch, latents, n, trunc_psi=cfg.trunc_psi
+        )
+        if num is not None:
+            save_image_grid(
+                np.asarray(images),
+                self.results_dir / self.name / f"{num}-ema.{ext}",
+                nrow=num_rows,
+            )
+        if save_noise_latent:
+            tmp = Path("temp") / self.name
+            tmp.mkdir(parents=True, exist_ok=True)
+            np.save(tmp / f"{num}-noise.npy", np.asarray(n))
+            np.save(tmp / f"{num}-latents.npy", np.asarray(latents))
+        return np.asarray(images)
+
+    def _ema_params(self):
+        assert self.state is not None
+        return jax.tree_util.tree_map(lambda x: x, self.state.ema)
+
+    def compute_av(self, params_s) -> np.ndarray:
+        """Mean w over 2000 z draws (truncation center,
+        histoGAN/histoGAN.py:1068-1072)."""
+        z = jax.random.normal(self._next_key(), (2000, self.cfg.latent_dim))
+        w = self.S.apply({"params": params_s}, z)
+        return np.mean(np.asarray(w), axis=0, keepdims=True)
+
+    def generate_truncated(self, params, hist_batch, style, noi,
+                           trunc_psi: float = 0.75) -> jnp.ndarray:
+        """EMA sampling with truncation (histoGAN/histoGAN.py:1064-1091).
+
+        ``style``: (N, latent) z batch (single-z noise_list semantics).
+        """
+        cfg = self.cfg
+        if self.av is None:
+            self.av = self.compute_av(params["S"])
+        w = self.S.apply({"params": params["S"]}, style)
+        av = jnp.asarray(self.av)
+        w = trunc_psi * (w - av) + av
+        nl = cfg.num_layers
+        w_styles = jnp.tile(w[:, None, :], (1, nl - 2, 1))
+
+        h_w = self.H.apply({"params": params["H"]}, hist_batch)
+        h_rows = jnp.stack([h_w, h_w], axis=1)
+        # tile doubling to match latent batch (histoGAN/histoGAN.py:1085-1086)
+        for _ in range(int(np.log2(np.sqrt(w.shape[0])))):
+            h_rows = jnp.concatenate([h_rows, h_rows], axis=0)
+        h_rows = h_rows[: w.shape[0]]
+
+        # chunked generation (evaluate_in_chunks, histoGAN/histoGAN.py:206-212)
+        outs = []
+        bs = cfg.batch_size
+        g_apply = self._cached_g_apply()
+        for s in range(0, w.shape[0], bs):
+            outs.append(
+                g_apply(params["G"], w_styles[s : s + bs], h_rows[s : s + bs],
+                        noi[s : s + bs])
+            )
+        images = jnp.concatenate(outs, axis=0)
+        return jnp.clip(images, 0.0, 1.0)
+
+    def _cached_g_apply(self):
+        if "g_apply" not in self._gen_cache:
+            self._gen_cache["g_apply"] = jax.jit(
+                lambda p, w, h, n: self.G.apply({"params": p}, w, h, n)
+            )
+        return self._gen_cache["g_apply"]
+
+    # ------------------------------------------------------ persistence
+    def config(self) -> dict:
+        return self.cfg.persisted()
+
+    def write_config(self) -> None:
+        self.cfg.write_config(self.store.config_path)
+
+    def load_config(self) -> None:
+        self.cfg = self.cfg.load_config(self.store.config_path)
+        self.init_GAN()
+
+    def save(self, num: int) -> None:
+        assert self.state is not None
+        host_state = jax.device_get(self.state)
+        self.store.save(host_state, num)
+        self.write_config()
+
+    def load(self, num: int = -1) -> None:
+        self.load_config()
+        name = num
+        if num == -1:
+            latest = self.store.latest()
+            if latest is None:
+                return
+            name = latest
+            print(f"continuing from previous epoch - {name}")
+        self.steps = name * self.cfg.save_every
+        template = jax.device_get(self.state)
+        restored = self.store.restore(name, template)
+        self.state = replicate(restored, self.mesh)
+
+    def clear(self) -> None:
+        self.store.clear()
+        import shutil
+
+        shutil.rmtree(self.results_dir / self.name, ignore_errors=True)
+        (self.results_dir / self.name).mkdir(parents=True, exist_ok=True)
+
+    # ---------------------------------------------------------- logging
+    def print_log(self) -> None:
+        print(
+            f"\nG: {self.g_loss:.2f} | H: {self.h_loss:.2f} | D: "
+            f"{self.d_loss:.2f} | GP: {self.last_gp_loss:.2f}"
+            f" | PL: {self.pl_mean:.2f} | CR: {self.last_cr_loss:.2f} | Q: "
+            f"{self.q_loss:.2f}"
+        )
+
+    def model_name(self, num: int) -> str:
+        return str(self.store.path(num))

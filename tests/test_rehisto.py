@@ -1,0 +1,123 @@
+"""ReHistoGAN end-to-end smoke: recoloring trainer steps, eval,
+head-transplant, checkpoint round-trip."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from histogan_tpu.train.rehisto_trainer import RecoloringTrainer
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    rng = np.random.RandomState(0)
+    for i in range(6):
+        arr = np.zeros((64, 64, 3), np.uint8)
+        arr[..., i % 3] = 180
+        arr += rng.randint(0, 60, (64, 64, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(root / f"{i}.jpg")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def trainer(tiny_dataset, tmp_path_factory):
+    out = tmp_path_factory.mktemp("run")
+    t = RecoloringTrainer(
+        name="smoke_re",
+        results_dir=str(out / "results"),
+        models_dir=str(out / "models"),
+        image_size=64, network_capacity=4, latent_dim=32, style_depth=2,
+        batch_size=2, gradient_accumulate_every=1, hist_bin=16,
+        save_every=2, skip_conn_to_GAN=True, num_devices=2, seed=0,
+    )
+    t.init_GAN()
+    t.set_data_src(tiny_dataset, sampling=True)
+    return t
+
+
+def test_rehisto_smoke_train(trainer):
+    for _ in range(2):
+        trainer.train(alpha=32, beta=1.5, gamma=4)
+    for v in (trainer.d_loss, trainer.g_loss, trainer.h_loss,
+              trainer.r_loss, trainer.var_loss):
+        assert np.isfinite(v)
+    assert trainer.r_loss > 0
+    assert trainer.var_loss <= 0  # negative variance term
+
+
+def test_rehisto_eval_grids(trainer):
+    out = trainer.evaluate(num=42, triple_hist=True)
+    assert out.shape[0] == 12  # 4 images x 3 hists
+    assert (trainer.results_dir / "smoke_re" / "42-generated.jpg").exists()
+    assert (trainer.results_dir / "smoke_re" / "42-input.jpg").exists()
+
+
+def test_rehisto_checkpoint_roundtrip(trainer):
+    trainer.save(3)
+    before = np.asarray(
+        next(iter(trainer.state.params_g["ED"].values()))
+        if isinstance(trainer.state.params_g["ED"], dict) else None
+    )
+    trainer.load(3)
+    assert trainer.steps == 3 * trainer.cfg.save_every
+
+
+def test_head_transplant(tiny_dataset, tmp_path_factory):
+    from histogan_tpu.train import Trainer
+
+    out = tmp_path_factory.mktemp("hg")
+    hg = Trainer(
+        name="donor", results_dir=str(out / "r"), models_dir=str(out / "m"),
+        image_size=64, network_capacity=4, latent_dim=32, style_depth=2,
+        batch_size=2, hist_bin=16, num_devices=1, seed=1,
+    )
+    hg.init_GAN()
+    re = RecoloringTrainer(
+        name="rx", results_dir=str(out / "r2"), models_dir=str(out / "m2"),
+        image_size=64, network_capacity=4, latent_dim=32, style_depth=2,
+        batch_size=2, hist_bin=16, num_devices=1, seed=2,
+    )
+    re.init_GAN()
+    re.load_histogan_head(hg)
+    import jax
+
+    n = hg.cfg.num_layers
+    donor = jax.device_get(hg.state.ema["G"][f"blocks_{n-2}"])
+    got = jax.device_get(re.state.params_g["G"]["blocks_0"])
+    a = donor["conv1"]["weight"]
+    b = got["conv1"]["weight"]
+    np.testing.assert_array_equal(a, b)
+
+
+def test_fixed_gan_weights_freezes_head(tiny_dataset, tmp_path_factory):
+    out = tmp_path_factory.mktemp("fx")
+    t = RecoloringTrainer(
+        name="fx", results_dir=str(out / "r"), models_dir=str(out / "m"),
+        image_size=64, network_capacity=4, latent_dim=32, style_depth=2,
+        batch_size=2, gradient_accumulate_every=1, hist_bin=16,
+        fixed_gan_weights=True, num_devices=1, seed=3,
+    )
+    t.init_GAN()
+    t.set_data_src(tiny_dataset, sampling=True)
+    import jax
+
+    g_before = jax.device_get(t.state.params_g["G"])
+    h_before = jax.device_get(t.state.params_g["H"])
+    ed_before = jax.device_get(t.state.params_g["ED"])
+    t.train()
+    g_after = jax.device_get(t.state.params_g["G"])
+    h_after = jax.device_get(t.state.params_g["H"])
+    ed_after = jax.device_get(t.state.params_g["ED"])
+
+    def max_delta(a, b):
+        import jax.tree_util as jtu
+
+        return max(
+            float(np.abs(x - y).max())
+            for x, y in zip(jtu.tree_leaves(a), jtu.tree_leaves(b))
+        )
+
+    assert max_delta(g_before, g_after) == 0.0
+    assert max_delta(h_before, h_after) == 0.0
+    assert max_delta(ed_before, ed_after) > 0.0

@@ -1,0 +1,108 @@
+"""End-to-end smoke train: 8 tiny images, a few steps, finite losses,
+checkpoint round-trip, eval grid — the SURVEY.md §4 test plan's
+integration slice. Runs on the virtual 8-device CPU mesh (conftest)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from histogan_tpu.train import NanException, Trainer
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    rng = np.random.RandomState(0)
+    for i in range(8):
+        arr = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(root / f"{i}.jpg")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def trainer(tiny_dataset, tmp_path_factory):
+    out = tmp_path_factory.mktemp("run")
+    t = Trainer(
+        name="smoke",
+        results_dir=str(out / "results"),
+        models_dir=str(out / "models"),
+        image_size=32,
+        network_capacity=4,
+        latent_dim=32,
+        style_depth=2,
+        batch_size=2,
+        gradient_accumulate_every=2,
+        hist_bin=16,
+        save_every=2,
+        num_devices=2,
+        seed=0,
+    )
+    t.init_GAN()
+    t.set_data_src(tiny_dataset)
+    return t
+
+
+def test_smoke_train_two_steps(trainer):
+    for _ in range(3):  # step 0 exercises gp+pl (second-order grad)
+        trainer.train(alpha=2)
+    assert np.isfinite(trainer.d_loss)
+    assert np.isfinite(trainer.g_loss)
+    assert np.isfinite(trainer.h_loss)
+    assert trainer.h_loss > 0
+    assert trainer.steps == 3
+
+
+def test_eval_grid_written(trainer):
+    imgs = trainer.evaluate(num=99, num_image_tiles=2)
+    assert imgs.shape == (4, 32, 32, 3)
+    assert (imgs >= 0).all() and (imgs <= 1).all()
+    assert (trainer.results_dir / "smoke" / "99-ema.jpg").exists()
+
+
+def test_checkpoint_roundtrip(trainer):
+    trainer.save(7)
+    step_before = int(trainer.state.step)
+    g_before = np.asarray(
+        trainer.state.params_g["G"]["initial_block"]
+    ).copy()
+
+    trainer.load(7)
+    assert trainer.steps == 7 * trainer.cfg.save_every
+    np.testing.assert_array_equal(
+        np.asarray(trainer.state.params_g["G"]["initial_block"]), g_before
+    )
+    assert int(trainer.state.step) == step_before
+
+    # load(-1) picks the max checkpoint number
+    trainer.save(9)
+    trainer.load(-1)
+    assert trainer.steps == 9 * trainer.cfg.save_every
+
+
+def test_config_json_contract(trainer):
+    trainer.write_config()
+    cfg_path = trainer.store.config_path
+    assert cfg_path.exists()
+    import json
+
+    cfg = json.loads(cfg_path.read_text())
+    assert set(cfg) == {
+        "image_size", "network_capacity", "transparent",
+        "fq_layers", "fq_dict_size", "attn_layers",
+    }
+
+
+def test_params_replicated_and_batch_sharded(trainer):
+    # parameters live replicated over the mesh; a fresh batch is sharded
+    leaf = trainer.state.params_g["G"]["initial_block"]
+    assert len(leaf.sharding.device_set) == 2
+    assert leaf.sharding.is_fully_replicated
+
+    from histogan_tpu.parallel import shard_batch
+
+    batch = next(trainer.loader)
+    sharded = shard_batch(batch, trainer.mesh, batch_axis=1)
+    img = sharded["d_images"]
+    assert not img.sharding.is_fully_replicated
