@@ -1,0 +1,18 @@
+"""CLI: GAN inversion by optimizing per-block post-projection style
+vectors directly (reference projection_to_latent.py)."""
+
+from __future__ import annotations
+
+from histogan_tpu.cli.projection_common import build_parser, run
+
+
+def main(argv=None):
+    from histogan_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
+    args = build_parser("./results_projection_to_latent").parse_args(argv)
+    run(args, mode="latent")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,503 @@
+"""GAN inversion (projection) for HistoGAN.
+
+Two variants, matching the reference tools:
+
+- :func:`project_gaussian` — optimize input z-space style rows (and
+  optionally the noise image or per-block latent noise), reference
+  projection_gaussian.py:197-570.
+- :func:`project_to_latent` — optimize per-block POST-projection styles
+  (style1/style2/torgb_style) directly, reference
+  projection_to_latent.py:207-614.
+
+Both freeze the EMA nets and run Adam (the reference's optimizer for
+projection, projection_gaussian.py:451-459) under a single jitted
+update step. Results are saved as .npz (the reference pickles torch
+tensors; same keys).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from histogan_tpu.models.generator import generator_filters
+from histogan_tpu.utils.image_io import save_image
+
+
+# --------------------------------------------------------------- helpers
+def _linear(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    return x @ params["kernel"] + params["bias"]
+
+
+def block_styles_from_latent(g_params: dict, block_idx: int,
+                             latent: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    """(style1, style2, rgb_style) for one block from a latent vector —
+    the reference's block.to_style1/to_style2/to_rgb.to_style projections
+    (projection_gaussian.py:432-440)."""
+    blk = g_params[f"blocks_{block_idx}"]
+    return (
+        _linear(blk["to_style1"], latent),
+        _linear(blk["to_style2"], latent),
+        _linear(blk["to_rgb"]["to_style"], latent),
+    )
+
+
+def block_noise_from_image(g_params: dict, block_idx: int, spatial: int,
+                           in_noise: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(noise1, noise2) for one block: crop, project, transpose quirk
+    (projection_gaussian.py:419-429; histoGAN/histoGAN.py:465-467)."""
+    blk = g_params[f"blocks_{block_idx}"]
+    crop = in_noise[:, :spatial, :spatial, :]
+    n1 = jnp.swapaxes(_linear(blk["to_noise1"], crop), 1, 2)
+    n2 = jnp.swapaxes(_linear(blk["to_noise2"], crop), 1, 2)
+    return n1, n2
+
+
+def block_spatials(image_size: int, network_capacity: int) -> List[int]:
+    """Post-upsample spatial size per generator block (4, 8, 16, ...)."""
+    n = len(generator_filters(image_size, network_capacity))
+    return [4 * (2 ** max(0, i)) if i == 0 else 4 * (2 ** i) for i in range(n)]
+
+
+def _forward(trainer, ema, histogram_latent, *, z_styles=None,
+             style_lists=None, in_noise=None, noise_lists=None) -> jnp.ndarray:
+    """Unified manual unroll covering both tools' process_image paths."""
+    G = trainer.G
+    cfg = trainer.cfg
+    nl = cfg.num_layers
+    g_params = ema["G"]
+
+    if z_styles is not None:
+        # z_styles: (1, n-2, latent) z rows; map each row through S
+        w_rows = trainer.S.apply({"params": ema["S"]}, z_styles)
+    hist_rows = jnp.stack([histogram_latent, histogram_latent], axis=1)
+
+    block_styles = []
+    for i in range(nl):
+        if i >= nl - 2:
+            block_styles.append(None)  # standard hist-driven path
+        elif style_lists is not None:
+            block_styles.append(
+                (style_lists["style1"][i], style_lists["style2"][i],
+                 style_lists["torgb"][i])
+            )
+        else:
+            block_styles.append(None)
+
+    block_noises = None
+    if noise_lists is not None:
+        block_noises = [
+            (noise_lists["noise1"][i], noise_lists["noise2"][i])
+            for i in range(nl)
+        ]
+
+    if z_styles is not None:
+        styles_arg = w_rows
+    else:
+        styles_arg = jnp.zeros((1, nl - 2, cfg.latent_dim))
+
+    return G.apply(
+        {"params": g_params}, styles_arg, hist_rows,
+        in_noise if in_noise is not None else jnp.zeros(
+            (1, cfg.image_size, cfg.image_size, 1)),
+        block_styles=block_styles if (style_lists is not None) else None,
+        block_noises=block_noises,
+    )
+
+
+def _pixel_loss(kind: str, a, b):
+    if kind == "L1":
+        return jnp.mean(jnp.abs(a - b))
+    return jnp.mean(jnp.square(a - b))  # L2 / mse
+
+
+def _load_input(path: str, image_size: int) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB").resize((image_size, image_size))
+    return np.asarray(img, np.float32)[None] / 255.0
+
+
+def _maybe_vgg(vgg_loss_weight: float):
+    if vgg_loss_weight <= 0:
+        return None
+    try:
+        from histogan_tpu.ops.vgg import VGGPerceptualLoss
+
+        return VGGPerceptualLoss()
+    except FileNotFoundError as e:
+        print(f"WARNING: {e}\nDisabling VGG loss (set --vgg_loss_weight 0 to "
+              f"silence this).")
+        return None
+
+
+# ---------------------------------------------------------- optimization
+def project_gaussian(trainer, input_image: str, *, results_dir: str,
+                     latent_noise: bool = False, optimize_noise: bool = True,
+                     pixel_loss_weight: float = 1.0, vgg_loss_weight: float = 0.005,
+                     noise_reg_weight: float = 0.0, style_reg_weight: float = 0.0,
+                     num_train_steps: int = 10000, learning_rate: float = 2e-4,
+                     pixel_loss: str = "L1", save_every: int = 500,
+                     seed: int = 0, log_every: int = 1) -> Path:
+    """Optimize z-space style rows (+ noise) to reconstruct
+    ``input_image``; saves intermediate jpgs + npz and a final npz.
+    Returns the output directory."""
+    from histogan_tpu.ops.histogram import histogram_feature
+
+    cfg = trainer.cfg
+    nl = cfg.num_layers
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+
+    filename = os.path.basename(os.path.splitext(input_image)[0])
+    out_dir = Path(results_dir) / trainer.name / filename
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    target = jnp.asarray(_load_input(input_image, cfg.image_size))
+    in_hist = histogram_feature(
+        target, h=cfg.hist_bin, insz=cfg.hist_insz, resizing=cfg.hist_resizing,
+        method=cfg.hist_method, sigma=cfg.hist_sigma,
+    )
+    ema = jax.device_get(trainer.state.ema)
+    hist_latent = trainer.H.apply({"params": ema["H"]}, in_hist)
+
+    # init: one z repeated over rows (noise_list, projection_gaussian.py:407-410)
+    z0 = jax.random.normal(k1, (1, cfg.latent_dim))
+    variables: Dict[str, jnp.ndarray] = {
+        "styles": jnp.tile(z0[:, None, :], (1, nl - 2, 1))
+    }
+    in_noise = jax.random.uniform(k2, (1, cfg.image_size, cfg.image_size, 1))
+
+    spatials = block_spatials(cfg.image_size, cfg.network_capacity)
+    if optimize_noise and latent_noise:
+        n1s, n2s = [], []
+        for i, s in enumerate(spatials):
+            n1, n2 = block_noise_from_image(ema["G"], i, s, in_noise)
+            n1s.append(n1)
+            n2s.append(n2)
+        variables["noise1"] = n1s
+        variables["noise2"] = n2s
+    elif optimize_noise:
+        variables["in_noise"] = in_noise
+
+    vgg = _maybe_vgg(vgg_loss_weight)
+
+    def render(v):
+        kwargs = {}
+        if "noise1" in v:
+            kwargs["noise_lists"] = {"noise1": v["noise1"], "noise2": v["noise2"]}
+        else:
+            kwargs["in_noise"] = v.get("in_noise", in_noise)
+        return _forward(trainer, ema, hist_latent, z_styles=v["styles"],
+                        **kwargs)
+
+    def loss_fn(v):
+        rgb = render(v)
+        rec = pixel_loss_weight * _pixel_loss(pixel_loss, target, rgb)
+        loss = rec
+        vl = jnp.zeros(())
+        if vgg is not None:
+            vl = vgg_loss_weight * vgg._loss(target, rgb)
+            loss = loss + vl
+        nl_loss = jnp.zeros(())
+        if optimize_noise:
+            if latent_noise:
+                terms = [jnp.mean(a) ** 2 + jnp.mean(b) ** 2
+                         for a, b in zip(v["noise1"], v["noise2"])]
+                nl_loss = noise_reg_weight * sum(terms) / len(terms)
+            else:
+                nl_loss = noise_reg_weight * jnp.mean(v["in_noise"]) ** 2
+            loss = loss + nl_loss
+        sl = style_reg_weight * jnp.mean(v["styles"]) ** 2 / v["styles"].shape[1]
+        loss = loss + sl
+        return loss, (rec, vl, nl_loss, sl)
+
+    tx = optax.adam(learning_rate)
+    opt_state = tx.init(variables)
+
+    @jax.jit
+    def step(v, s):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(v)
+        updates, s = tx.update(grads, s, v)
+        return optax.apply_updates(v, updates), s, loss, aux
+
+    start = render(variables)
+    save_image(np.asarray(jnp.clip(start[0], 0, 1)), out_dir / f"{filename}_start.jpg")
+
+    def dump(v, tag):
+        data = {"styles": np.asarray(v["styles"])}
+        if "in_noise" in v:
+            data["in_noise"] = np.asarray(v["in_noise"])
+        if "noise1" in v:
+            for i, (a, b) in enumerate(zip(v["noise1"], v["noise2"])):
+                data[f"noise1_{i}"] = np.asarray(a)
+                data[f"noise2_{i}"] = np.asarray(b)
+        np.savez(out_dir / f"{filename}_{tag}.npz", **data)
+
+    for t in range(num_train_steps):
+        variables, opt_state, loss, (rec, vl, nls, sl) = step(variables, opt_state)
+        if log_every and (t % log_every == 0):
+            print(f"Optimization step {t + 1}, rec. loss = {float(rec)}, "
+                  f"vgg loss = {float(vl)}, rec. noise reg loss = {float(nls)}, "
+                  f"style reg loss = {float(sl)}")
+        if (t + 1) % save_every == 0:
+            img = render(variables)
+            save_image(np.asarray(jnp.clip(img[0], 0, 1)),
+                       out_dir / f"{filename}_{t + 1}.jpg")
+            dump(variables, str(t + 1))
+
+    dump(variables, "final")
+    img = render(variables)
+    save_image(np.asarray(jnp.clip(img[0], 0, 1)), out_dir / f"{filename}_final.jpg")
+    print("End of optimization.")
+    return out_dir
+
+
+def project_to_latent(trainer, input_image: str, *, results_dir: str,
+                      latent_noise: bool = False, optimize_noise: bool = True,
+                      pixel_loss_weight: float = 1.0, vgg_loss_weight: float = 0.005,
+                      noise_reg_weight: float = 0.0, style_reg_weight: float = 0.0,
+                      num_train_steps: int = 10000, learning_rate: float = 2e-4,
+                      pixel_loss: str = "L1", save_every: int = 500,
+                      seed: int = 0, log_every: int = 1) -> Path:
+    """Optimize per-block post-projection styles directly
+    (projection_to_latent.py:420-545)."""
+    from histogan_tpu.ops.histogram import histogram_feature
+
+    cfg = trainer.cfg
+    nl = cfg.num_layers
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+
+    filename = os.path.basename(os.path.splitext(input_image)[0])
+    out_dir = Path(results_dir) / trainer.name / filename
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    target = jnp.asarray(_load_input(input_image, cfg.image_size))
+    in_hist = histogram_feature(
+        target, h=cfg.hist_bin, insz=cfg.hist_insz, resizing=cfg.hist_resizing,
+        method=cfg.hist_method, sigma=cfg.hist_sigma,
+    )
+    ema = jax.device_get(trainer.state.ema)
+    hist_latent = trainer.H.apply({"params": ema["H"]}, in_hist)
+
+    z0 = jax.random.normal(k1, (1, cfg.latent_dim))
+    w = trainer.S.apply({"params": ema["S"]}, z0)
+    in_noise = jax.random.uniform(k2, (1, cfg.image_size, cfg.image_size, 1))
+
+    s1s, s2s, rgbs = [], [], []
+    for i in range(nl - 2):
+        s1, s2, rs = block_styles_from_latent(ema["G"], i, w)
+        s1s.append(s1)
+        s2s.append(s2)
+        rgbs.append(rs)
+    variables: Dict[str, object] = {"style1": s1s, "style2": s2s, "torgb": rgbs}
+
+    spatials = block_spatials(cfg.image_size, cfg.network_capacity)
+    if optimize_noise and latent_noise:
+        n1s, n2s = [], []
+        for i, s in enumerate(spatials):
+            n1, n2 = block_noise_from_image(ema["G"], i, s, in_noise)
+            n1s.append(n1)
+            n2s.append(n2)
+        variables["noise1"] = n1s
+        variables["noise2"] = n2s
+    elif optimize_noise:
+        variables["in_noise"] = in_noise
+
+    vgg = _maybe_vgg(vgg_loss_weight)
+
+    def render(v):
+        # pad the optimized lists up to nl entries (last 2 use the hist path)
+        style_lists = {
+            "style1": list(v["style1"]) + [None, None],
+            "style2": list(v["style2"]) + [None, None],
+            "torgb": list(v["torgb"]) + [None, None],
+        }
+        kwargs = {}
+        if "noise1" in v:
+            kwargs["noise_lists"] = {"noise1": v["noise1"], "noise2": v["noise2"]}
+        else:
+            kwargs["in_noise"] = v.get("in_noise", in_noise)
+        return _forward(trainer, ema, hist_latent, style_lists=style_lists,
+                        **kwargs)
+
+    def loss_fn(v):
+        rgb = render(v)
+        rec = pixel_loss_weight * _pixel_loss(pixel_loss, target, rgb)
+        loss = rec
+        vl = jnp.zeros(())
+        if vgg is not None:
+            vl = vgg_loss_weight * vgg._loss(target, rgb)
+            loss = loss + vl
+        nl_loss = jnp.zeros(())
+        if optimize_noise:
+            if latent_noise:
+                terms = [jnp.mean(a) ** 2 + jnp.mean(b) ** 2
+                         for a, b in zip(v["noise1"], v["noise2"])]
+                nl_loss = noise_reg_weight * sum(terms) / len(terms)
+            else:
+                nl_loss = noise_reg_weight * jnp.mean(v["in_noise"]) ** 2
+            loss = loss + nl_loss
+        terms = [jnp.mean(a) ** 2 + jnp.mean(b) ** 2
+                 for a, b in zip(v["style1"], v["style2"])]
+        sl = style_reg_weight * sum(terms) / max(len(terms), 1)
+        loss = loss + sl
+        return loss, (rec, vl, nl_loss, sl)
+
+    tx = optax.adam(learning_rate)
+    opt_state = tx.init(variables)
+
+    @jax.jit
+    def step(v, s):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(v)
+        updates, s = tx.update(grads, s, v)
+        return optax.apply_updates(v, updates), s, loss, aux
+
+    start = render(variables)
+    save_image(np.asarray(jnp.clip(start[0], 0, 1)), out_dir / f"{filename}_start.jpg")
+
+    def dump(v, tag):
+        data = {}
+        for i in range(nl - 2):
+            data[f"style1_{i}"] = np.asarray(v["style1"][i])
+            data[f"style2_{i}"] = np.asarray(v["style2"][i])
+            data[f"torgb_style_{i}"] = np.asarray(v["torgb"][i])
+        if "in_noise" in v:
+            data["in_noise"] = np.asarray(v["in_noise"])
+        if "noise1" in v:
+            for i, (a, b) in enumerate(zip(v["noise1"], v["noise2"])):
+                data[f"noise1_{i}"] = np.asarray(a)
+                data[f"noise2_{i}"] = np.asarray(b)
+        np.savez(out_dir / f"{filename}_{tag}.npz", **data)
+
+    for t in range(num_train_steps):
+        variables, opt_state, loss, (rec, vl, nls, sl) = step(variables, opt_state)
+        if log_every and (t % log_every == 0):
+            print(f"Optimization step {t + 1}, rec. loss = {float(rec)}, "
+                  f"vgg loss = {float(vl)}, rec. noise reg loss = {float(nls)}, "
+                  f"style reg loss = {float(sl)}")
+        if (t + 1) % save_every == 0:
+            img = render(variables)
+            save_image(np.asarray(jnp.clip(img[0], 0, 1)),
+                       out_dir / f"{filename}_{t + 1}.jpg")
+            dump(variables, str(t + 1))
+
+    dump(variables, "final")
+    img = render(variables)
+    save_image(np.asarray(jnp.clip(img[0], 0, 1)), out_dir / f"{filename}_final.jpg")
+    print("End of optimization.")
+    return out_dir
+
+
+# --------------------------------------------------------------- recolor
+def recolor_projected(trainer, input_image: str, target_hist: jnp.ndarray,
+                      target_hist_name: str, *, results_dir: str,
+                      mode: str = "gaussian", latent_noise: bool = False,
+                      optimize_noise: bool = True, add_noise: bool = False,
+                      random_styles: Sequence[int] = (),
+                      post_recoloring: bool = False,
+                      upsampling_output: bool = False,
+                      upsampling_method: str = "pyramid",
+                      swapping_levels: int = 1, pyramid_levels: int = 5,
+                      level_blending: bool = False, seed: int = 1) -> Path:
+    """Render the projected latents with a SWAPPED target histogram
+    (projection_gaussian.py:109-194 / projection_to_latent.py:93-204),
+    with optional random style re-randomization and post ops."""
+    cfg = trainer.cfg
+    nl = cfg.num_layers
+    key = jax.random.PRNGKey(seed)
+    filename = os.path.basename(os.path.splitext(input_image)[0])
+    out_dir = Path(results_dir) / trainer.name / filename
+    data = dict(np.load(out_dir / f"{filename}_final.npz"))
+    ema = jax.device_get(trainer.state.ema)
+    hist_latent = trainer.H.apply({"params": ema["H"]}, jnp.asarray(target_hist))
+
+    kwargs: Dict[str, object] = {}
+    if optimize_noise and latent_noise:
+        kwargs["noise_lists"] = {
+            "noise1": [jnp.asarray(data[f"noise1_{i}"]) for i in range(nl)],
+            "noise2": [jnp.asarray(data[f"noise2_{i}"]) for i in range(nl)],
+        }
+    elif optimize_noise:
+        in_noise = jnp.asarray(data["in_noise"])
+        if add_noise:
+            shift = jax.random.uniform(key, in_noise.shape)
+            in_noise = (in_noise + shift) / 2.0
+        kwargs["in_noise"] = in_noise
+    else:
+        kwargs["in_noise"] = jax.random.uniform(
+            key, (1, cfg.image_size, cfg.image_size, 1)
+        )
+
+    if mode == "gaussian":
+        styles = jnp.asarray(data["styles"])
+        if random_styles:
+            assert max(random_styles) <= nl - 2
+            rs = sorted(set(random_styles))
+            z = jax.random.normal(jax.random.fold_in(key, 1), (1, cfg.latent_dim))
+            new = jnp.tile(z[:, None, :], (1, len(rs), 1))
+            styles = np.array(styles)  # mutable copy
+            for j, i in enumerate(rs):
+                styles[:, i - 1, :] = np.asarray(new[:, j, :])
+            styles = jnp.asarray(styles)
+        rgb = _forward(trainer, ema, hist_latent, z_styles=styles, **kwargs)
+    else:
+        s1 = [jnp.asarray(data[f"style1_{i}"]) for i in range(nl - 2)]
+        s2 = [jnp.asarray(data[f"style2_{i}"]) for i in range(nl - 2)]
+        rg = [jnp.asarray(data[f"torgb_style_{i}"]) for i in range(nl - 2)]
+        if random_styles:
+            assert max(random_styles) <= nl - 2
+            rs = sorted(set(random_styles))
+            z = jax.random.normal(jax.random.fold_in(key, 1), (1, cfg.latent_dim))
+            w = trainer.S.apply({"params": ema["S"]}, z)
+            for i in rs:
+                a, b, c = block_styles_from_latent(ema["G"], i - 1, w)
+                s1[i - 1], s2[i - 1], rg[i - 1] = a, b, c
+        style_lists = {"style1": s1 + [None, None], "style2": s2 + [None, None],
+                       "torgb": rg + [None, None]}
+        rgb = _forward(trainer, ema, hist_latent, style_lists=style_lists, **kwargs)
+
+    from datetime import datetime
+
+    timestamp = datetime.now().strftime("%m-%d-%Y_%H-%M-%S")
+    base = os.path.basename(os.path.splitext(target_hist_name)[0])
+    out_name = out_dir / f"generated-{filename}{base}-{timestamp}.jpg"
+    rgb_np = np.asarray(jnp.clip(rgb[0], 0, 1))
+    save_image(rgb_np, out_name)
+
+    if post_recoloring:
+        print("Post-recoloring")
+        from histogan_tpu.data.dataset import load_rgb
+        from histogan_tpu.post.mkl import color_transfer_MKL
+
+        source = load_rgb(input_image)
+        save_image(color_transfer_MKL(source, rgb_np), out_name)
+
+    if upsampling_output:
+        print("Upsampling ...")
+        from histogan_tpu.data.dataset import load_rgb
+
+        reference = load_rgb(input_image)
+        if upsampling_method == "BGU":
+            from histogan_tpu.post.bgu import bgu_upsample
+
+            save_image(bgu_upsample(reference, rgb_np), out_name)
+        elif upsampling_method == "pyramid":
+            from histogan_tpu.post.pyramid import pyramid_upsampling
+
+            out = pyramid_upsampling(rgb_np, reference, levels=pyramid_levels,
+                                     swapping_levels=swapping_levels,
+                                     blending=level_blending)
+            save_image(np.clip(out, 0, 1), out_name)
+        else:
+            raise Exception("Unknown upsampling method")
+
+    print(f"sample images generated at {out_name}")
+    return out_name

@@ -41,13 +41,13 @@ class Models(NamedTuple):
 
 
 def sample_w_rows(S, params_s, key, batch: int, num_rows: int, latent_dim: int,
-                  mixed_prob: float) -> jnp.ndarray:
+                  mixed_prob: float, dtype=jnp.float32) -> jnp.ndarray:
     """Sample per-block w vectors: with prob ``mixed_prob`` style-mix two
     z's at a uniform cutoff (mixed_list, histoGAN/histoGAN.py:174-176),
     else one z for all rows (noise_list)."""
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    z1 = jax.random.normal(k1, (batch, latent_dim))
-    z2 = jax.random.normal(k2, (batch, latent_dim))
+    z1 = jax.random.normal(k1, (batch, latent_dim), dtype)
+    z2 = jax.random.normal(k2, (batch, latent_dim), dtype)
     use_mixed = jax.random.uniform(k3, ()) < mixed_prob
     tt = jax.random.randint(k4, (), 0, num_rows)  # int(rand*layers)
     cutoff = jnp.where(use_mixed, tt, num_rows)
@@ -69,17 +69,33 @@ def hist_rows(H, params_h, hist_batch: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([h_w, h_w], axis=1)
 
 
+def compute_dtype(cfg):
+    return jnp.bfloat16 if getattr(cfg, "precision", "fp32") == "bf16" else jnp.float32
+
+
+def cast_tree(tree, dtype):
+    """Cast float32 leaves to the compute dtype (params stay fp32 masters;
+    the cast's VJP returns fp32 gradients — standard mixed precision)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, tree
+    )
+
+
 def generate(models: Models, params_g, hist_batch, key, cfg) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Full G forward from fresh latents; returns (images, w_styles)."""
+    """Full G forward from fresh latents; returns (images, w_styles,
+    h_rows, noise). Under the bf16 policy the synthesis path runs in
+    bf16 (histogram/loss math stays fp32 — SURVEY.md §2 C30)."""
+    dt = compute_dtype(cfg)
+    pg = cast_tree(params_g, dt)
     k_style, k_noise = jax.random.split(key)
     batch = hist_batch.shape[0]
     w_styles = sample_w_rows(
-        models.S, params_g["S"], k_style, batch, cfg.num_layers - 2,
-        cfg.latent_dim, cfg.mixed_prob,
+        models.S, pg["S"], k_style, batch, cfg.num_layers - 2,
+        cfg.latent_dim, cfg.mixed_prob, dtype=dt,
     )
-    h_rows = hist_rows(models.H, params_g["H"], hist_batch)
-    noise = image_noise(k_noise, batch, cfg.image_size)
-    images = models.G.apply({"params": params_g["G"]}, w_styles, h_rows, noise)
+    h_rows = hist_rows(models.H, pg["H"], hist_batch.astype(dt))
+    noise = image_noise(k_noise, batch, cfg.image_size).astype(dt)
+    images = models.G.apply({"params": pg["G"]}, w_styles, h_rows, noise)
     return images, w_styles, h_rows, noise
 
 
@@ -92,10 +108,13 @@ def _d_variables(params_d, vq_stats):
 
 def _apply_d(models: Models, params_d, vq_stats, images, key, cfg, train_stats: bool):
     """Discriminator with optional batch augmentation; returns
-    (logits, qloss, new_vq_stats)."""
+    (logits, qloss, new_vq_stats). Runs in the compute dtype; loss math
+    upstream is fp32."""
+    dt = compute_dtype(cfg)
+    images = images.astype(dt)
     if cfg.aug_prob > 0.0:
         images = aug_wrapper(key, images, cfg.aug_prob, cfg.aug_types)
-    variables = _d_variables(params_d, vq_stats)
+    variables = _d_variables(cast_tree(params_d, dt), vq_stats)
     if vq_stats and train_stats:
         (logits, qloss), updated = models.D.apply(
             variables, images, train=True, mutable=["vq_stats"]
@@ -131,13 +150,16 @@ def make_train_step(models: Models, g_tx, d_tx, cfg):
         real_logits, real_q, vq_stats2 = _apply_d(
             models, params_d, vq_stats, real_images, k_aug_r, cfg, True
         )
-        divergence = losses.hinge_divergence(real_logits, fake_logits)
-        quantize_loss = jnp.mean(fake_q + real_q)
+        divergence = losses.hinge_divergence(
+            real_logits.astype(jnp.float32), fake_logits.astype(jnp.float32)
+        )
+        quantize_loss = jnp.mean((fake_q + real_q).astype(jnp.float32))
         loss = divergence + quantize_loss
         gp = jnp.zeros(())
         if apply_gp:
             gp = losses.gradient_penalty(
-                lambda imgs: real_logits_of(imgs)[0], real_images
+                lambda imgs: real_logits_of(imgs)[0].astype(jnp.float32),
+                real_images,
             )
             loss = loss + gp
         return loss, (divergence, quantize_loss, gp, vq_stats2)
@@ -150,20 +172,26 @@ def make_train_step(models: Models, g_tx, d_tx, cfg):
             models, params_d, vq_stats, images, k_aug, cfg, True
         )
         gen_hists = histogram_feature(
-            jax.nn.relu(images),
+            jax.nn.relu(images.astype(jnp.float32)),  # hist math stays fp32
             h=cfg.hist_bin, insz=cfg.hist_insz, resizing=cfg.hist_resizing,
             method=cfg.hist_method, sigma=cfg.hist_sigma,
         )
         hist_loss = losses.hellinger_histogram_loss(hist_batch, gen_hists, cfg.alpha)
-        adv_loss = jnp.mean(fake_logits)
+        adv_loss = jnp.mean(fake_logits.astype(jnp.float32))
         loss = adv_loss + hist_loss
         avg_pl = jnp.zeros(())
         if apply_pl:
-            # path-length reg (histoGAN/histoGAN.py:965-975)
-            std = 0.1 / (jnp.std(w_styles, axis=0, keepdims=True, ddof=1) + EPS)
-            w2 = w_styles + jax.random.normal(k_pl, w_styles.shape) / (std + EPS)
-            pl_images = models.G.apply({"params": params_g["G"]}, w2, h_rows, noise)
-            pl_lengths = losses.path_length_lengths(pl_images, images)
+            # path-length reg (histoGAN/histoGAN.py:965-975); fp32 math
+            w32 = w_styles.astype(jnp.float32)
+            std = 0.1 / (jnp.std(w32, axis=0, keepdims=True, ddof=1) + EPS)
+            w2 = w32 + jax.random.normal(k_pl, w32.shape) / (std + EPS)
+            pl_images = models.G.apply(
+                {"params": cast_tree(params_g["G"], compute_dtype(cfg))},
+                w2.astype(w_styles.dtype), h_rows, noise,
+            )
+            pl_lengths = losses.path_length_lengths(
+                pl_images.astype(jnp.float32), images.astype(jnp.float32)
+            )
             avg_pl = jnp.mean(pl_lengths)
             loss = loss + losses.path_length_penalty(pl_lengths, pl_mean)
         return loss, (adv_loss, hist_loss, avg_pl, vq_stats)

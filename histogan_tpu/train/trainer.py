@@ -42,7 +42,7 @@ class Trainer:
                  hist_sigma=0.02, hist_bin=64, hist_insz=150,
                  aug_prob=0.0, dataset_aug_prob=0.0, aug_types=None,
                  latent_dim=512, style_depth=8, num_devices=None, seed=42,
-                 **_unused):
+                 precision="fp32", **_unused):
         if aug_types is None:
             aug_types = ("translation", "cutout")
         self.cfg = HistoGANConfig(
@@ -56,7 +56,7 @@ class Trainer:
             batch_size=batch_size, gradient_accumulate_every=gradient_accumulate_every,
             learning_rate=lr, mixed_prob=mixed_prob, aug_prob=aug_prob,
             aug_types=tuple(aug_types), dataset_aug_prob=dataset_aug_prob,
-            save_every=save_every, trunc_psi=trunc_psi,
+            save_every=save_every, trunc_psi=trunc_psi, precision=precision,
         )
         self.name = name
         self.results_dir = Path(results_dir)
@@ -78,6 +78,23 @@ class Trainer:
         self.loader: Optional[TrainLoader] = None
         self.pool: Optional[HistogramPool] = None
         self._gen_cache: Dict[Any, Any] = {}
+
+        from histogan_tpu.utils.logging import MetricsLogger
+
+        self.metrics_logger = MetricsLogger(
+            results_dir, name, every=50,
+            imgs_per_step=batch_size * gradient_accumulate_every,
+        )
+        self.profiler_hook = None  # set via enable_profiling()
+
+    def enable_profiling(self, start_step: int, count: int = 5,
+                         trace_dir: Optional[str] = None) -> None:
+        from histogan_tpu.utils.logging import ProfilerHook
+
+        self.profiler_hook = ProfilerHook(
+            trace_dir or str(self.results_dir / self.name / "traces"),
+            start_step, count,
+        )
 
     # ------------------------------------------------------------ setup
     def _next_key(self):
@@ -170,7 +187,11 @@ class Trainer:
             self.state, batch, self._next_key(), apply_gp=apply_gp, apply_pl=apply_pl
         )
 
+        if self.profiler_hook is not None:
+            self.profiler_hook.step(self.steps)
+
         m = {k: float(v) for k, v in metrics.items()}
+        self.metrics_logger.log(self.steps, m)
         self.d_loss = m["d_loss"]
         self.g_loss = m["g_loss"]
         self.h_loss = m["h_loss"]

@@ -1,0 +1,79 @@
+"""Projection (GAN inversion) tests: loss decreases, artifacts written,
+recolor path renders with a swapped histogram."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from histogan_tpu import projection
+from histogan_tpu.train import Trainer
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    out = tmp_path_factory.mktemp("proj")
+    rng = np.random.RandomState(0)
+    img_path = out / "input.jpg"
+    arr = np.zeros((64, 64, 3), np.uint8)
+    arr[:, :32] = [200, 80, 40]
+    arr[:, 32:] = [40, 80, 200]
+    arr = np.clip(arr + rng.randint(0, 30, arr.shape), 0, 255).astype(np.uint8)
+    Image.fromarray(arr).save(img_path)
+
+    t = Trainer(
+        name="proj", results_dir=str(out / "results"),
+        models_dir=str(out / "models"), image_size=32, network_capacity=4,
+        latent_dim=32, style_depth=2, batch_size=2, hist_bin=16,
+        num_devices=1, seed=0,
+    )
+    t.init_GAN()
+    return t, str(img_path), out
+
+
+@pytest.mark.parametrize("mode", ["gaussian", "latent"])
+def test_projection_improves_and_saves(setup, mode, capsys):
+    t, img_path, out = setup
+    fn = projection.project_gaussian if mode == "gaussian" else projection.project_to_latent
+    out_dir = fn(
+        t, img_path, results_dir=str(out / f"res_{mode}"),
+        num_train_steps=20, learning_rate=0.05, save_every=10,
+        vgg_loss_weight=0.0, seed=0, log_every=0,
+    )
+    assert (out_dir / "input_start.jpg").exists()
+    assert (out_dir / "input_final.jpg").exists()
+    assert (out_dir / "input_final.npz").exists()
+
+    # loss should decrease: compare start/final renders against the target
+    target = np.asarray(Image.open(img_path).resize((32, 32)), np.float32) / 255
+    start = np.asarray(Image.open(out_dir / "input_start.jpg"), np.float32) / 255
+    final = np.asarray(Image.open(out_dir / "input_final.jpg"), np.float32) / 255
+    assert np.abs(final - target).mean() < np.abs(start - target).mean()
+
+
+@pytest.mark.parametrize("mode", ["gaussian", "latent"])
+def test_recolor_projected(setup, mode):
+    t, img_path, out = setup
+    hist = np.full((1, 3, 16, 16), 1.0 / (3 * 16 * 16), np.float32)
+    out_name = projection.recolor_projected(
+        t, img_path, hist, "uniform.npy",
+        results_dir=str(out / f"res_{mode}"), mode=mode,
+        random_styles=[1], seed=2,
+    )
+    assert out_name.exists()
+
+
+def test_latent_noise_mode(setup):
+    t, img_path, out = setup
+    out_dir = projection.project_gaussian(
+        t, img_path, results_dir=str(out / "res_ln"),
+        latent_noise=True, num_train_steps=4, save_every=4,
+        vgg_loss_weight=0.0, seed=0, log_every=0,
+    )
+    data = np.load(out_dir / "input_final.npz")
+    assert "noise1_0" in data and "styles" in data
+    out_name = projection.recolor_projected(
+        t, img_path, np.full((1, 3, 16, 16), 1 / 768, np.float32), "u.npy",
+        results_dir=str(out / "res_ln"), mode="gaussian",
+        latent_noise=True, seed=1,
+    )
+    assert out_name.exists()
