@@ -28,7 +28,7 @@ import numpy as np
 BASELINE_IMGS_PER_SEC = 121.48  # round-1 fp32, TPU v5e-1, 2026-08-16
 
 
-def main():
+def measure(precision: str = "bf16", n_steps: int = 32) -> float:
     from histogan_tpu.models import (
         Discriminator, Generator, HistVectorizer, StyleVectorizer,
     )
@@ -40,7 +40,7 @@ def main():
 
     cfg = HistoGANConfig(
         image_size=256, network_capacity=16, batch_size=16,
-        gradient_accumulate_every=1,
+        gradient_accumulate_every=1, precision=precision,
     )
     mesh = make_mesh()
     S = StyleVectorizer(cfg.latent_dim, cfg.style_depth)
@@ -97,17 +97,22 @@ def main():
         state, metrics = step_fn(state, batch, jax.random.fold_in(key, i), **flags(i))
         float(metrics["d_loss"])
 
-    n_steps = 32
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, metrics = step_fn(state, batch, jax.random.fold_in(key, 100 + i), **flags(i))
     float(metrics["d_loss"])  # one sync at the end of the dependent chain
     dt = time.perf_counter() - t0
+    return n_steps * a * b / dt
 
-    imgs_per_sec = n_steps * a * b / dt
+
+def main():
+    import os
+
+    precision = os.environ.get("BENCH_PRECISION", "bf16")
+    imgs_per_sec = measure(precision)
     vs = (imgs_per_sec / BASELINE_IMGS_PER_SEC) if BASELINE_IMGS_PER_SEC else 1.0
     print(json.dumps({
-        "metric": "histogan_train_imgs_per_sec_256px_cap16",
+        "metric": f"histogan_train_imgs_per_sec_256px_cap16_{precision}",
         "value": round(imgs_per_sec, 2),
         "unit": "imgs/sec",
         "vs_baseline": round(vs, 3),

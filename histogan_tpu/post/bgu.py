@@ -237,9 +237,22 @@ def bgu_slice(gamma: np.ndarray, input_fs: np.ndarray,
 
 
 def bgu_upsample(input_fs: np.ndarray, output_ds: np.ndarray,
-                 max_ds: int = 300) -> np.ndarray:
+                 max_ds: int = 300, backend: str = None) -> np.ndarray:
     """The BGU.m driver: cap the low-res output at ``max_ds`` px, resize
-    the full-res input down to it, luminance guides, fit, slice."""
+    the full-res input down to it, luminance guides, fit, slice.
+
+    backend: 'scipy' (direct sparse solve, default) or 'native' (C++
+    matrix-free PCG — histogan_tpu/native/bgu_solver.cpp); also settable
+    via HISTOGAN_BGU env var."""
+    import os
+
+    backend = backend or os.environ.get("HISTOGAN_BGU", "scipy")
+    if backend == "native":
+        from histogan_tpu.post.bgu_native import bgu_upsample_native
+
+        return bgu_upsample_native(input_fs, output_ds, max_ds)
+    if backend != "scipy":
+        raise ValueError(f"unknown BGU backend {backend!r}; use 'scipy' or 'native'")
     from histogan_tpu.post.imresize import imresize
 
     input_fs = np.asarray(input_fs, np.float64)
