@@ -61,6 +61,7 @@ def train_from_folder(
     attn_layers=(), hist_method="inverse-quadratic", hist_resizing="sampling",
     hist_sigma=0.02, hist_bin=64, hist_insz=150, alpha=2, target_hist=None,
     aug_prob=0.0, dataset_aug_prob=0.0, aug_types=None, seed=42,
+    num_devices=None,
 ):
     from histogan_tpu.ops.histogram import RGBuvHistBlock
     from histogan_tpu.train import NanException, Trainer
@@ -75,6 +76,7 @@ def train_from_folder(
         hist_sigma=hist_sigma, hist_resizing=hist_resizing,
         hist_method=hist_method, aug_prob=aug_prob,
         dataset_aug_prob=dataset_aug_prob, aug_types=aug_types, seed=seed,
+        num_devices=num_devices,
     )
 
     if not new:
@@ -214,7 +216,7 @@ def main(argv=None):
         hist_bin=args.hist_bin, hist_insz=args.hist_insz,
         target_hist=args.target_hist, alpha=args.alpha, aug_prob=args.aug_prob,
         dataset_aug_prob=args.dataset_aug_prob, aug_types=args.aug_types,
-        seed=args.seed,
+        seed=args.seed, num_devices=args.num_devices,
     )
 
 
