@@ -24,7 +24,9 @@ import numpy as np
 
 # Round-1 measured reference point (imgs/sec, v5e-1, fp32, batch 16).
 # Established by the first run of this script on real hardware; see
-# BASELINE.md "measured" table.
+# BASELINE.md "measured" table. The headline metric runs the bf16 policy;
+# vs_baseline is the speedup over the round-1 fp32 implementation
+# (bf16 r1: ~179 imgs/sec -> vs_baseline ~1.47).
 BASELINE_IMGS_PER_SEC = 121.48  # round-1 fp32, TPU v5e-1, 2026-08-16
 
 

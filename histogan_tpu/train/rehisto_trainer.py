@@ -84,6 +84,13 @@ class RecoloringTrainer:
         self.pool: Optional[HistogramPool] = None
         self._eval_cache: Dict[Any, Any] = {}
 
+        from histogan_tpu.utils.logging import MetricsLogger
+
+        self.metrics_logger = MetricsLogger(
+            results_dir, name, every=50,
+            imgs_per_step=batch_size * gradient_accumulate_every,
+        )
+
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
         return sub
@@ -191,6 +198,7 @@ class RecoloringTrainer:
             alpha=float(alpha), beta=float(beta), gamma=float(gamma),
         )
         m = {k: float(v) for k, v in metrics.items()}
+        self.metrics_logger.log(self.steps, m)
         self.d_loss, self.g_loss = m["d_loss"], m["g_loss"]
         self.h_loss, self.r_loss = m["h_loss"], m["r_loss"]
         self.var_loss = m["var_loss"]
