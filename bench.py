@@ -16,9 +16,19 @@ faster than round 1.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
+
+# persistent compile cache: the remote TPU compiler on this tunnel takes
+# minutes per program; cached runs start in seconds
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -263,3 +263,24 @@ def test_full_bundle_conversion_shapes():
                    jnp.zeros((1, image_size, image_size, 3)))["params"]
     assert (jax.tree_util.tree_map(lambda a: a.shape, ref_d)
             == jax.tree_util.tree_map(lambda a: a.shape, converted["params_d"]))
+
+    # end-to-end: install into a Trainer and sample (the pretrained-
+    # sampling workflow, BASELINE.json config 3)
+    import tempfile
+
+    from histogan_tpu.train import Trainer, convert as conv_mod
+
+    with tempfile.TemporaryDirectory() as td:
+        t = Trainer(name="conv", results_dir=f"{td}/r", models_dir=f"{td}/m",
+                    image_size=image_size, network_capacity=cap,
+                    latent_dim=latent, style_depth=depth, hist_bin=hist_bin,
+                    batch_size=2, num_devices=1, seed=0)
+        t.init_GAN()
+        conv_mod.install_into_trainer(t, converted)
+        # EMA params must now be the converted ones
+        got = np.asarray(jax.device_get(t.state.ema["G"]["initial_block"]))
+        np.testing.assert_array_equal(got, converted["ema"]["G"]["initial_block"])
+        hist = jnp.full((4, 3, hist_bin, hist_bin), 1.0 / (3 * hist_bin ** 2))
+        imgs = t.evaluate(num=None, hist_batch=hist, num_image_tiles=2)
+        assert imgs.shape == (4, image_size, image_size, 3)
+        assert np.isfinite(imgs).all()

@@ -1,0 +1,95 @@
+"""Distributed-correctness tests (SURVEY.md §4): the same training step
+on a 1-device mesh and a sharded multi-device mesh must produce the SAME
+losses in fp32 — XLA collectives make the gradient psum deterministic."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from histogan_tpu.models import Discriminator, Generator, HistVectorizer, StyleVectorizer
+from histogan_tpu.optim import diffgrad
+from histogan_tpu.parallel import make_mesh, replicate, shard_batch
+from histogan_tpu.train.state import HistoGANState
+from histogan_tpu.train.steps import Models, make_train_step
+from histogan_tpu.utils.config import HistoGANConfig
+
+
+def _setup(batch):
+    cfg = HistoGANConfig(image_size=32, network_capacity=4, latent_dim=32,
+                         style_depth=2, hist_bin=16, batch_size=batch,
+                         gradient_accumulate_every=1)
+    S = StyleVectorizer(cfg.latent_dim, cfg.style_depth)
+    H = HistVectorizer(cfg.hist_bin, cfg.latent_dim, cfg.style_depth)
+    G = Generator(cfg.image_size, cfg.latent_dim, cfg.network_capacity)
+    D = Discriminator(cfg.image_size, cfg.network_capacity)
+    models = Models(S, H, G, D)
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    nl = cfg.num_layers
+    params_g = {
+        "S": S.init(ks[0], jnp.zeros((1, cfg.latent_dim)))["params"],
+        "H": H.init(ks[1], jnp.zeros((1, 3, cfg.hist_bin, cfg.hist_bin)))["params"],
+        "G": G.init(ks[2], jnp.zeros((1, nl - 2, cfg.latent_dim)),
+                    jnp.zeros((1, 2, cfg.latent_dim)),
+                    jnp.zeros((1, cfg.image_size, cfg.image_size, 1)))["params"],
+    }
+    params_d = D.init(ks[3], jnp.zeros((1, cfg.image_size, cfg.image_size, 3)))["params"]
+    g_tx = diffgrad(cfg.learning_rate, 0.5, 0.9)
+    d_tx = diffgrad(cfg.learning_rate, 0.5, 0.9)
+    state = HistoGANState(
+        step=jnp.zeros((), jnp.int32), params_g=params_g, params_d=params_d,
+        ema=jax.tree_util.tree_map(jnp.copy, params_g),
+        opt_g=g_tx.init(params_g), opt_d=d_tx.init(params_d),
+        pl_mean=jnp.zeros(()),
+    )
+    step = make_train_step(models, g_tx, d_tx, cfg)
+    return cfg, state, step
+
+
+def _batch(cfg):
+    rng = np.random.default_rng(7)
+    a, b = cfg.gradient_accumulate_every, cfg.batch_size
+    return {
+        "d_images": rng.random((a, b, cfg.image_size, cfg.image_size, 3), np.float32),
+        "d_hists": rng.random((a, b, 3, cfg.hist_bin, cfg.hist_bin), np.float32),
+        "g_hists": rng.random((a, b, 3, cfg.hist_bin, cfg.hist_bin), np.float32),
+    }
+
+
+@pytest.mark.parametrize("n_devices", [2, 4, 8])
+def test_sharded_step_matches_single_device(n_devices):
+    """Identical inputs, identical RNG: per-step metrics must agree
+    between a replicated 1-device run and a batch-sharded n-device run."""
+    cfg, state, step = _setup(batch=8)
+    batch = _batch(cfg)
+    key = jax.random.PRNGKey(42)
+
+    mesh1 = make_mesh(1)
+    s1 = replicate(jax.device_get(state), mesh1)
+    b1 = shard_batch(batch, mesh1, batch_axis=1)
+    _, m1 = step(s1, b1, key, apply_gp=True, apply_pl=True)
+
+    meshn = make_mesh(n_devices)
+    sn = replicate(jax.device_get(state), meshn)
+    bn = shard_batch(batch, meshn, batch_axis=1)
+    _, mn = step(sn, bn, key, apply_gp=True, apply_pl=True)
+
+    for k in m1:
+        np.testing.assert_allclose(
+            float(m1[k]), float(mn[k]), rtol=2e-5, atol=1e-6,
+            err_msg=f"metric {k} diverges on {n_devices}-device mesh",
+        )
+
+
+def test_sharded_params_stay_in_sync():
+    """After a sharded step, parameters must remain replicated-identical
+    across devices (gradient psum, no per-device drift)."""
+    cfg, state, step = _setup(batch=8)
+    mesh = make_mesh(4)
+    s = replicate(jax.device_get(state), mesh)
+    b = shard_batch(_batch(cfg), mesh, batch_axis=1)
+    s2, _ = step(s, b, jax.random.PRNGKey(1), apply_gp=False, apply_pl=False)
+    leaf = s2.params_g["G"]["initial_block"]
+    shards = [np.asarray(x.data) for x in leaf.addressable_shards]
+    for other in shards[1:]:
+        np.testing.assert_array_equal(shards[0], other)
