@@ -32,3 +32,23 @@ from histogan_tpu.ops.histogram import (  # noqa: F401
     histogram_feature,
 )
 from histogan_tpu.ops.losses import hellinger_histogram_loss  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy heavyweight exports (mirror the reference package surface,
+    # histoGAN/__init__.py:1-3 / ReHistoGAN/__init__.py:1)
+    if name in ("Trainer", "NanException"):
+        from histogan_tpu import train
+
+        return getattr(train, name)
+    if name == "RecoloringTrainer":
+        from histogan_tpu.train.rehisto_trainer import RecoloringTrainer
+
+        return RecoloringTrainer
+    if name in ("Generator", "Discriminator", "StyleVectorizer",
+                "HistVectorizer", "Conv2DMod", "GeneratorBlock", "RGBBlock",
+                "DiscriminatorBlock"):
+        from histogan_tpu import models
+
+        return getattr(models, name)
+    raise AttributeError(f"module 'histogan_tpu' has no attribute {name!r}")
