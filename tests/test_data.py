@@ -1,0 +1,80 @@
+"""Data pipeline tests: histogram pool vs direct computation, mixed-size
+shape grouping, interpolation distribution, loader batch contract."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from histogan_tpu.data.dataset import HistogramPool, ImageFolderDataset, TrainLoader
+from histogan_tpu.ops.histogram import histogram_feature
+
+
+@pytest.fixture(scope="module")
+def mixed_dataset(tmp_path_factory):
+    """Images of several sizes, some above and some below hist_insz."""
+    root = tmp_path_factory.mktemp("mixed")
+    rng = np.random.RandomState(0)
+    sizes = [(40, 40), (40, 40), (80, 60), (200, 180), (200, 180), (64, 128)]
+    for i, (h, w) in enumerate(sizes):
+        Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8)).save(
+            root / f"{i}.jpg"
+        )
+    return root
+
+
+@pytest.mark.parametrize("resizing", ["sampling", "interpolation"])
+def test_pool_matches_direct_histogram(mixed_dataset, resizing):
+    """The pool's host-side resize + batched device hist must equal
+    feeding the raw image through histogram_feature directly."""
+    from histogan_tpu.data.dataset import list_images, load_rgb
+
+    paths = list_images(mixed_dataset)
+    pool = HistogramPool(paths, hist_insz=64, hist_bin=16,
+                         hist_resizing=resizing)
+    for i, p in enumerate(paths):
+        img = load_rgb(p)
+        want = np.asarray(histogram_feature(
+            img[None], h=16, insz=64, resizing=resizing))
+        got = pool.pool[i]
+        # host cv2/PIL resize vs jax resize differ at float level only
+        assert np.abs(got - want[0]).max() < 2e-3, f"image {i} ({img.shape})"
+
+
+def test_interpolated_hist_is_convex_combination(mixed_dataset):
+    from histogan_tpu.data.dataset import list_images
+
+    pool = HistogramPool(list_images(mixed_dataset), hist_insz=64, hist_bin=16)
+    rng = np.random.default_rng(0)
+    h = pool.sample_interpolated(rng, 16)
+    assert h.shape == (16, 3, 16, 16)
+    np.testing.assert_allclose(h.sum(axis=(1, 2, 3)), 1.0, atol=1e-3)
+    assert (h >= 0).all()
+
+
+def test_loader_batch_contract(mixed_dataset):
+    ds = ImageFolderDataset(str(mixed_dataset), image_size=32)
+    from histogan_tpu.data.dataset import list_images
+
+    pool = HistogramPool(list_images(mixed_dataset), hist_insz=64, hist_bin=16)
+    loader = TrainLoader(ds, pool, batch_size=2, accum=3, seed=0)
+    batch = next(loader)
+    loader.close()
+    assert batch["d_images"].shape == (3, 2, 32, 32, 3)
+    assert batch["d_hists"].shape == (3, 2, 3, 16, 16)
+    assert batch["g_hists"].shape == (3, 2, 3, 16, 16)
+    assert batch["d_images"].min() >= 0 and batch["d_images"].max() <= 1
+
+
+def test_loader_rehisto_contract(mixed_dataset):
+    ds = ImageFolderDataset(str(mixed_dataset), image_size=32)
+    from histogan_tpu.data.dataset import list_images
+
+    pool = HistogramPool(list_images(mixed_dataset), hist_insz=64, hist_bin=16)
+    loader = TrainLoader(ds, pool, batch_size=2, accum=1, seed=0,
+                         include_g_images=True, self_hist=True)
+    batch = next(loader)
+    loader.close()
+    assert batch["g_images"].shape == (1, 2, 32, 32, 3)
+    # self_hist: g_hists are pool entries (no interpolation)
+    dists = np.abs(batch["g_hists"][0, 0][None] - pool.pool).sum(axis=(1, 2, 3))
+    assert dists.min() < 1e-6
