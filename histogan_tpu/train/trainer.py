@@ -42,7 +42,12 @@ class Trainer:
                  hist_sigma=0.02, hist_bin=64, hist_insz=150,
                  aug_prob=0.0, dataset_aug_prob=0.0, aug_types=None,
                  latent_dim=512, style_depth=8, num_devices=None, seed=42,
-                 precision="fp32", **_unused):
+                 precision="fp32", sync_every=1, **_unused):
+        # sync_every: fetch step metrics every N steps instead of every
+        # step (1 = reference-parity). >1 removes the per-step
+        # host<->device sync (NaN rollback then triggers up to N-1 steps
+        # late, reloading the same checkpoint).
+        self.sync_every = max(1, int(sync_every))
         if aug_types is None:
             aug_types = ("translation", "cutout")
         self.cfg = HistoGANConfig(
@@ -190,24 +195,30 @@ class Trainer:
         if self.profiler_hook is not None:
             self.profiler_hook.step(self.steps)
 
-        m = {k: float(v) for k, v in metrics.items()}
-        self.metrics_logger.log(self.steps, m)
-        self.d_loss = m["d_loss"]
-        self.g_loss = m["g_loss"]
-        self.h_loss = m["h_loss"]
-        self.q_loss = m["q_loss"]
-        if apply_gp:
-            self.last_gp_loss = m["gp_loss"]
-        self.pl_mean = m["pl_mean"]
-
         checkpoint_num = self.steps // self.cfg.save_every
-        if math.isnan(self.g_loss) or math.isnan(self.d_loss):
-            print(
-                f"NaN detected for generator or discriminator. "
-                f"Loading from checkpoint #{checkpoint_num}"
-            )
-            self.load(checkpoint_num)
-            raise NanException
+        must_sync = (
+            self.sync_every == 1
+            or self.steps % self.sync_every == 0
+            or self.steps % self.cfg.save_every == 0
+        )
+        if must_sync:
+            m = {k: float(v) for k, v in metrics.items()}
+            self.metrics_logger.log(self.steps, m)
+            self.d_loss = m["d_loss"]
+            self.g_loss = m["g_loss"]
+            self.h_loss = m["h_loss"]
+            self.q_loss = m["q_loss"]
+            if apply_gp:
+                self.last_gp_loss = m["gp_loss"]
+            self.pl_mean = m["pl_mean"]
+
+            if math.isnan(self.g_loss) or math.isnan(self.d_loss):
+                print(
+                    f"NaN detected for generator or discriminator. "
+                    f"Loading from checkpoint #{checkpoint_num}"
+                )
+                self.load(checkpoint_num)
+                raise NanException
 
         if jax.process_index() == 0:
             if self.steps % self.cfg.save_every == 0:
