@@ -32,7 +32,10 @@ class VectorQuantize(nn.Module):
         cluster_size = self.variable(
             "vq_stats", "cluster_size", lambda: jnp.zeros((self.n_embed,))
         )
-        embed_avg = self.variable("vq_stats", "embed_avg", lambda: embed.value)
+        # jnp.copy: embed_avg must be a distinct buffer from embed, or
+        # donating the train state donates the same buffer twice
+        embed_avg = self.variable("vq_stats", "embed_avg",
+                                  lambda: jnp.copy(embed.value))
 
         flat = x.reshape(-1, self.dim)
         # negative squared distance to each code

@@ -53,9 +53,10 @@ class Trainer:
         self.cfg = HistoGANConfig(
             image_size=image_size, network_capacity=network_capacity,
             latent_dim=latent_dim, style_depth=style_depth,
-            transparent=transparent, fq_layers=tuple(np.atleast_1d(fq_layers).astype(int)) if len(fq_layers) else (),
+            transparent=transparent,
+            fq_layers=tuple(int(x) for x in np.atleast_1d(fq_layers)) if len(fq_layers) else (),
             fq_dict_size=fq_dict_size,
-            attn_layers=tuple(np.atleast_1d(attn_layers).astype(int)) if len(attn_layers) else (),
+            attn_layers=tuple(int(x) for x in np.atleast_1d(attn_layers)) if len(attn_layers) else (),
             hist_bin=hist_bin, hist_insz=hist_insz, hist_method=hist_method,
             hist_resizing=hist_resizing, hist_sigma=hist_sigma,
             batch_size=batch_size, gradient_accumulate_every=gradient_accumulate_every,
