@@ -1,6 +1,6 @@
 """Data pipeline: image folder + histogram pool + prefetching loader.
 
-Reference behavior (histoGAN/histoGAAN.py — Dataset at :253-307): every
+Reference behavior (histoGAN/histoGAN.py — Dataset at :253-307): every
 __getitem__ opens THREE images and runs the CPU histogram block twice to
 build one training example. That burns ~100ms of host CPU per item and
 was the reason the reference needs num_workers = cpu_count.
@@ -22,8 +22,6 @@ from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 from PIL import Image
-
-import jax
 
 EXTS = ["jpg", "png"]  # histoGAN/histoGAN.py:52
 
