@@ -141,27 +141,35 @@ def make_train_step(models: Models, g_tx, d_tx, cfg):
             models, params_d, vq_stats, fake_images, k_aug_f, cfg, True
         )
 
-        def real_logits_of(imgs):
-            logits, real_q, _ = _apply_d(
-                models, params_d, vq_stats, imgs, k_aug_r, cfg, False
-            )
-            return logits, real_q
+        if apply_gp:
+            # share ONE real forward between the hinge logits and the
+            # gradient-penalty input gradient via vjp (the reference also
+            # reuses its real forward for both, histoGAN.py:908-922)
+            def real_fwd(imgs):
+                logits, real_q, vq2 = _apply_d(
+                    models, params_d, vq_stats, imgs, k_aug_r, cfg, True
+                )
+                return logits.astype(jnp.float32), (real_q, vq2)
 
-        real_logits, real_q, vq_stats2 = _apply_d(
-            models, params_d, vq_stats, real_images, k_aug_r, cfg, True
-        )
+            real_logits, vjp_fn, (real_q, vq_stats2) = jax.vjp(
+                real_fwd, real_images, has_aux=True
+            )
+            (img_grads,) = vjp_fn(jnp.ones_like(real_logits))
+            flat = img_grads.reshape(real_images.shape[0], -1)
+            norms = jnp.linalg.norm(flat, axis=1)
+            gp = 10.0 * jnp.mean(jnp.square(norms - 1.0))
+        else:
+            real_logits, real_q, vq_stats2 = _apply_d(
+                models, params_d, vq_stats, real_images, k_aug_r, cfg, True
+            )
+            real_logits = real_logits.astype(jnp.float32)
+            gp = jnp.zeros(())
+
         divergence = losses.hinge_divergence(
-            real_logits.astype(jnp.float32), fake_logits.astype(jnp.float32)
+            real_logits, fake_logits.astype(jnp.float32)
         )
         quantize_loss = jnp.mean((fake_q + real_q).astype(jnp.float32))
-        loss = divergence + quantize_loss
-        gp = jnp.zeros(())
-        if apply_gp:
-            gp = losses.gradient_penalty(
-                lambda imgs: real_logits_of(imgs)[0].astype(jnp.float32),
-                real_images,
-            )
-            loss = loss + gp
+        loss = divergence + quantize_loss + (gp if apply_gp else 0.0)
         return loss, (divergence, quantize_loss, gp, vq_stats2)
 
     # ----------------------------------------------------------------- G
