@@ -27,7 +27,16 @@ class RecolorModels(NamedTuple):
 
 def recolor_forward(models: RecolorModels, params, image_batch, hist_batch,
                     noise, cfg):
-    """The 4-way ED/G dispatch (rehistoGAN.py:938-956). Returns images."""
+    """The 4-way ED/G dispatch (rehistoGAN.py:938-956). Returns images.
+    Runs in the compute dtype under the bf16 policy (loss math stays
+    fp32 in the caller)."""
+    from histogan_tpu.train.steps import cast_tree, compute_dtype
+
+    dt = compute_dtype(cfg)
+    params = cast_tree(params, dt)
+    image_batch = image_batch.astype(dt)
+    hist_batch = hist_batch.astype(dt)
+    noise = noise.astype(dt)
     h_w = models.H.apply({"params": params["H"]}, hist_batch)
     if cfg.skip_conn_to_GAN and not cfg.internal_hist:
         latent, rgb, pl1, pl2 = models.ED.apply(
@@ -70,14 +79,22 @@ def make_rehisto_train_step(models: RecolorModels, g_tx, d_tx, cfg):
     rec_variant = _rec_variant(cfg.rec_loss)
 
     def d_loss_fn(params_d, fake_images, real_images, apply_gp):
-        fake_logits, fake_q = models.D.apply({"params": params_d}, fake_images)
-        real_logits, real_q = models.D.apply({"params": params_d}, real_images)
-        divergence = losses.hinge_divergence(real_logits, fake_logits)
-        loss = divergence + jnp.mean(fake_q + real_q)
+        from histogan_tpu.train.steps import cast_tree, compute_dtype
+
+        dt = compute_dtype(cfg)
+        pd = cast_tree(params_d, dt)
+        fake_logits, fake_q = models.D.apply(
+            {"params": pd}, fake_images.astype(dt))
+        real_logits, real_q = models.D.apply(
+            {"params": pd}, real_images.astype(dt))
+        divergence = losses.hinge_divergence(
+            real_logits.astype(jnp.float32), fake_logits.astype(jnp.float32))
+        loss = divergence + jnp.mean((fake_q + real_q).astype(jnp.float32))
         gp = jnp.zeros(())
         if apply_gp:
             gp = losses.gradient_penalty(
-                lambda imgs: models.D.apply({"params": params_d}, imgs)[0],
+                lambda imgs: models.D.apply(
+                    {"params": pd}, imgs.astype(dt))[0].astype(jnp.float32),
                 real_images,
             )
             loss = loss + gp
@@ -88,19 +105,24 @@ def make_rehisto_train_step(models: RecolorModels, g_tx, d_tx, cfg):
         noise = jax.random.uniform(
             key, (image_batch.shape[0], cfg.image_size, cfg.image_size, 1)
         )
+        from histogan_tpu.train.steps import cast_tree, compute_dtype
+
+        dt = compute_dtype(cfg)
         generated = recolor_forward(models, params_g, image_batch, hist_batch,
                                     noise, cfg)
-        fake_logits, _ = models.D.apply({"params": params_d}, generated)
-        d_loss = gamma * jnp.mean(fake_logits)
+        fake_logits, _ = models.D.apply(
+            {"params": cast_tree(params_d, dt)}, generated)
+        d_loss = gamma * jnp.mean(fake_logits.astype(jnp.float32))
 
+        generated32 = generated.astype(jnp.float32)  # loss math fp32
         gen_hists = histogram_feature(
-            jax.nn.relu(generated), h=cfg.hist_bin, insz=cfg.hist_insz,
+            jax.nn.relu(generated32), h=cfg.hist_bin, insz=cfg.hist_insz,
             resizing=cfg.hist_resizing, method=cfg.hist_method,
             sigma=cfg.hist_sigma,
         )
         hist_loss = losses.hellinger_histogram_loss(hist_batch, gen_hists, alpha)
         rec_loss = beta * losses.reconstruction_loss(
-            image_batch, generated, rec_variant
+            image_batch, generated32, rec_variant
         )
         loss = d_loss + hist_loss + rec_loss
         var_loss = jnp.zeros(())
@@ -114,7 +136,8 @@ def make_rehisto_train_step(models: RecolorModels, g_tx, d_tx, cfg):
                 sigma=cfg.hist_sigma,
             )
             var_loss = losses.variance_loss(
-                hist_batch, input_hoh, image_batch, generated, gauss_kernel, beta
+                hist_batch, input_hoh, image_batch, generated32, gauss_kernel,
+                beta,
             )
             loss = loss + var_loss
         return loss, (d_loss, hist_loss, rec_loss, var_loss)
