@@ -115,13 +115,30 @@ class HistogramPool:
     def __init__(self, paths: Sequence, hist_insz: int = 150, hist_bin: int = 64,
                  hist_method: str = "inverse-quadratic",
                  hist_resizing: str = "sampling", hist_sigma: float = 0.02,
-                 transparent: bool = False, batch: int = 16):
+                 transparent: bool = False, batch: int = 16,
+                 cache_dir: Optional[str] = None):
         from histogan_tpu.ops.histogram import histogram_feature
 
         self.paths = list(paths)
         self.h = hist_bin
         n = len(self.paths)
         self.pool = np.zeros((n, 3, hist_bin, hist_bin), np.float32)
+
+        # disk cache keyed on file identities + histogram config
+        cache_file = None
+        if cache_dir is not None:
+            import hashlib
+
+            ident = "\n".join(
+                f"{p}:{Path(p).stat().st_mtime_ns}:{Path(p).stat().st_size}"
+                for p in self.paths
+            )
+            cfg = f"{hist_insz}:{hist_bin}:{hist_method}:{hist_resizing}:{hist_sigma}:{transparent}"
+            key = hashlib.sha256((ident + cfg).encode()).hexdigest()[:24]
+            cache_file = Path(cache_dir) / f"hist_pool_{key}.npy"
+            if cache_file.exists():
+                self.pool = np.load(cache_file)
+                return
 
         def host_resize(arr: np.ndarray) -> np.ndarray:
             hh, ww = arr.shape[:2]
@@ -152,6 +169,12 @@ class HistogramPool:
                     resizing=hist_resizing, method=hist_method, sigma=hist_sigma,
                 )
                 self.pool[chunk] = np.asarray(hists)
+
+        if cache_file is not None:
+            cache_file.parent.mkdir(parents=True, exist_ok=True)
+            tmp = cache_file.with_suffix(".tmp.npy")
+            np.save(tmp, self.pool)
+            tmp.replace(cache_file)  # atomic
 
     def __len__(self) -> int:
         return len(self.paths)

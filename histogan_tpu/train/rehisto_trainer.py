@@ -170,6 +170,7 @@ class RecoloringTrainer:
         self.pool = HistogramPool(
             self.dataset.paths, cfg.hist_insz, cfg.hist_bin, cfg.hist_method,
             cfg.hist_resizing, cfg.hist_sigma, cfg.transparent,
+            cache_dir=str(self.store.dir),
         )
         self.loader = TrainLoader(
             self.dataset, self.pool, cfg.batch_size,

@@ -65,6 +65,23 @@ def test_loader_batch_contract(mixed_dataset):
     assert batch["d_images"].min() >= 0 and batch["d_images"].max() <= 1
 
 
+def test_pool_disk_cache(mixed_dataset, tmp_path):
+    from histogan_tpu.data.dataset import list_images
+
+    paths = list_images(mixed_dataset)
+    p1 = HistogramPool(paths, hist_insz=64, hist_bin=16,
+                       cache_dir=str(tmp_path))
+    cached = list(tmp_path.glob("hist_pool_*.npy"))
+    assert len(cached) == 1
+    p2 = HistogramPool(paths, hist_insz=64, hist_bin=16,
+                       cache_dir=str(tmp_path))
+    np.testing.assert_array_equal(p1.pool, p2.pool)
+    # different config -> different cache entry
+    HistogramPool(paths, hist_insz=64, hist_bin=16, hist_sigma=0.05,
+                  cache_dir=str(tmp_path))
+    assert len(list(tmp_path.glob("hist_pool_*.npy"))) == 2
+
+
 def test_loader_rehisto_contract(mixed_dataset):
     ds = ImageFolderDataset(str(mixed_dataset), image_size=32)
     from histogan_tpu.data.dataset import list_images
