@@ -6,11 +6,14 @@ pipeline: activation statistics, the exact Fréchet distance (numpy eig-
 based sqrtm, no scipy.linalg.sqrtm dependency), and a scorer that walks
 generated/real batches through a feature extractor.
 
-The standard InceptionV3-pool3 extractor requires pretrained weights,
-which this zero-egress environment cannot download — the extractor is
-therefore pluggable: pass any callable (B, H, W, 3)[0,1] -> (B, D).
-``inception_extractor`` loads weights from INCEPTION_WEIGHTS if a file
-is provided (same gating pattern as the VGG loss).
+The standard InceptionV3-pool3 extractor is implemented natively in
+metrics/inception.py (torchvision graph, oracle-tested). Pretrained
+weights cannot be downloaded in this zero-egress environment, so
+``inception_extractor`` loads them from a file (INCEPTION_WEIGHTS or an
+explicit path) and ``random_inception_extractor`` provides the
+documented self-contained fallback: the same graph with deterministic
+He-initialized weights — a valid *relative* quality signal; absolute
+parity with published FID tables requires the pretrained file.
 """
 
 from __future__ import annotations
@@ -56,21 +59,41 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
 
 
 def inception_extractor(weights_path: Optional[str] = None) -> Callable:
-    """InceptionV3 pool3 features. Requires a weights file (see module
-    docstring); raises FileNotFoundError otherwise."""
+    """InceptionV3 pool3 features from a pretrained torchvision
+    state-dict export (.pt/.pth/.npz). Requires a weights file (see
+    module docstring); raises FileNotFoundError otherwise."""
     import os
+
+    from histogan_tpu.metrics import inception
 
     path = weights_path or os.environ.get("INCEPTION_WEIGHTS")
     if not path or not os.path.exists(path):
         raise FileNotFoundError(
             "InceptionV3 weights not found; set INCEPTION_WEIGHTS to a "
-            "pt/npz export of torchvision's inception_v3, or pass a custom "
-            "extractor to FIDScorer."
+            "pt/npz export of torchvision's inception_v3, pass a custom "
+            "extractor to FIDScorer, or use random_inception_extractor()."
         )
-    raise NotImplementedError(
-        "InceptionV3 graph loading lands when a weights file is available "
-        "in this environment; use a custom extractor meanwhile."
-    )
+    return inception.make_extractor(inception.load_weights_file(path))
+
+
+def random_inception_extractor(seed: int = 0) -> Callable:
+    """Self-contained fallback: the InceptionV3 graph with deterministic
+    He-initialized weights (metrics/inception.py random_params). Useful
+    as a relative quality signal when the pretrained file is absent."""
+    from histogan_tpu.metrics import inception
+
+    return inception.make_extractor(inception.random_params(seed))
+
+
+def default_extractor() -> Callable:
+    """Pretrained extractor if INCEPTION_WEIGHTS is set, else the seeded
+    random-weight fallback."""
+    import os
+
+    path = os.environ.get("INCEPTION_WEIGHTS")
+    if path and os.path.exists(path):
+        return inception_extractor(path)
+    return random_inception_extractor()
 
 
 class FIDScorer:
@@ -91,3 +114,16 @@ class FIDScorer:
         mu_r, s_r = compute_statistics(np.concatenate(self._real))
         mu_f, s_f = compute_statistics(np.concatenate(self._fake))
         return frechet_distance(mu_r, s_r, mu_f, s_f)
+
+    def reset(self, real: bool = True, fake: bool = True) -> None:
+        """Drop accumulated features. Trainer reuse: real stats are kept
+        across FID evaluations (the dataset doesn't change), generated
+        stats are recomputed each time."""
+        if real:
+            self._real = []
+        if fake:
+            self._fake = []
+
+    @property
+    def num_real(self) -> int:
+        return int(sum(f.shape[0] for f in self._real))

@@ -42,7 +42,8 @@ class Trainer:
                  hist_sigma=0.02, hist_bin=64, hist_insz=150,
                  aug_prob=0.0, dataset_aug_prob=0.0, aug_types=None,
                  latent_dim=512, style_depth=8, num_devices=None, seed=42,
-                 precision="fp32", sync_every=1, **_unused):
+                 precision="fp32", sync_every=1, calculate_fid_every=None,
+                 fid_num_samples=256, fid_extractor=None, **_unused):
         # sync_every: fetch step metrics every N steps instead of every
         # step (1 = reference-parity). >1 removes the per-step
         # host<->device sync (NaN rollback then triggers up to N-1 steps
@@ -84,6 +85,15 @@ class Trainer:
         self.loader: Optional[TrainLoader] = None
         self.pool: Optional[HistogramPool] = None
         self._gen_cache: Dict[Any, Any] = {}
+
+        # FID quality tracking (the reference's manual-FID guidance,
+        # README.md:87-96, made automatic): every `calculate_fid_every`
+        # steps score fid_num_samples EMA samples against the dataset.
+        self.calculate_fid_every = calculate_fid_every
+        self.fid_num_samples = int(fid_num_samples)
+        self._fid_extractor = fid_extractor  # None -> metrics.default_extractor
+        self._fid_scorer = None
+        self.last_fid: Optional[float] = None
 
         from histogan_tpu.utils.logging import MetricsLogger
 
@@ -227,6 +237,12 @@ class Trainer:
                 self.save(checkpoint_num)
             if self.steps % 1000 == 0 or (self.steps % 100 == 0 and self.steps < 2500):
                 self.evaluate(self.steps // 1000)
+            if (self.calculate_fid_every is not None
+                    and self.steps % self.calculate_fid_every == 0):
+                fid = self.calculate_fid()
+                with open(self.results_dir / self.name / "fid_scores.txt",
+                          "a") as f:
+                    f.write(f"{self.steps},{fid:.4f}\n")
 
         self.steps += 1
         self.av = None
@@ -276,6 +292,50 @@ class Trainer:
             np.save(tmp / f"{num}-noise.npy", np.asarray(n))
             np.save(tmp / f"{num}-latents.npy", np.asarray(latents))
         return np.asarray(images)
+
+    def calculate_fid(self, num_samples: Optional[int] = None) -> float:
+        """FID between `num_samples` EMA samples (pool-sampled target
+        histograms, fresh latents) and dataset images. Real-image
+        features are computed once and cached; generated features are
+        recomputed per call. Extractor: pretrained InceptionV3-pool3 if
+        INCEPTION_WEIGHTS is set, else the seeded random-weight fallback
+        (metrics/fid.py)."""
+        assert self.pool is not None, "set_data_src first"
+        from histogan_tpu.metrics import FIDScorer, default_extractor
+
+        if self._fid_scorer is None:
+            self._fid_scorer = FIDScorer(self._fid_extractor or default_extractor())
+        scorer = self._fid_scorer
+        n = int(num_samples or self.fid_num_samples)
+        bs = max(1, self.cfg.batch_size)
+
+        if scorer.num_real < n:
+            scorer.reset()
+            rng = np.random.default_rng(4242)
+            for s in range(0, n, bs):
+                take = min(bs, n - s)
+                idx = rng.integers(0, len(self.dataset), size=take)
+                imgs = np.stack(
+                    [self.dataset.get_image(int(i), rng) for i in idx]
+                )
+                scorer.add_real(imgs)
+
+        scorer.reset(real=False)
+        params = self._ema_params()
+        for s in range(0, n, bs):
+            take = min(bs, n - s)
+            hist = self._eval_hist_batch(take)
+            latents = jax.random.normal(self._next_key(), (take, self.cfg.latent_dim))
+            noise = jax.random.uniform(
+                self._next_key(),
+                (take, self.cfg.image_size, self.cfg.image_size, 1),
+            )
+            imgs = self.generate_truncated(
+                params, hist, latents, noise, trunc_psi=self.cfg.trunc_psi
+            )
+            scorer.add_generated(np.asarray(imgs))
+        self.last_fid = scorer.score()
+        return self.last_fid
 
     def _ema_params(self):
         assert self.state is not None

