@@ -61,7 +61,7 @@ def train_from_folder(
     attn_layers=(), hist_method="inverse-quadratic", hist_resizing="sampling",
     hist_sigma=0.02, hist_bin=64, hist_insz=150, alpha=2, target_hist=None,
     aug_prob=0.0, dataset_aug_prob=0.0, aug_types=None, seed=42,
-    num_devices=None,
+    num_devices=None, load_pt=None,
 ):
     from histogan_tpu.ops.histogram import RGBuvHistBlock
     from histogan_tpu.train import NanException, Trainer
@@ -85,6 +85,14 @@ def train_from_folder(
     else:
         model.clear()
         model.init_GAN()
+
+    if load_pt is not None:
+        # published reference .pt checkpoint (README.md:306-317)
+        from histogan_tpu.train import convert
+
+        convert.install_into_trainer(
+            model, convert.convert_pt_file(load_pt, image_size))
+        print(f"installed converted reference checkpoint {load_pt}")
 
     if generate:
         timestamp = datetime.now().strftime("%m-%d-%Y_%H-%M-%S")
@@ -159,6 +167,8 @@ def get_args(argv=None):
     add("--name", default="histoGAN_model")
     add("--new", type=str2bool, default=False)
     add("--load_from", type=int, default=-1)
+    add("--load_pt", default=None, type=str,
+        help="Convert+install a published reference .pt checkpoint.")
     add("--image_size", type=int, default=256)
     add("--network_capacity", type=int, default=16)
     add("--transparent", type=str2bool, default=False)
@@ -216,7 +226,7 @@ def main(argv=None):
         hist_bin=args.hist_bin, hist_insz=args.hist_insz,
         target_hist=args.target_hist, alpha=args.alpha, aug_prob=args.aug_prob,
         dataset_aug_prob=args.dataset_aug_prob, aug_types=args.aug_types,
-        seed=args.seed, num_devices=args.num_devices,
+        seed=args.seed, num_devices=args.num_devices, load_pt=args.load_pt,
     )
 
 

@@ -132,7 +132,7 @@ def train_from_folder(
     change_hyperparameters_after=100000, upsampling_output=False,
     upsampling_method="pyramid", swapping_levels=1, pyramid_levels=6,
     level_blending=False, post_recoloring=False,
-    histogram_pool="histogram_data/histograms.npy", seed=42,
+    histogram_pool="histogram_data/histograms.npy", seed=42, load_pt=None,
 ):
     from histogan_tpu.train import NanException, Trainer
     from histogan_tpu.train.rehisto_trainer import RecoloringTrainer
@@ -170,7 +170,15 @@ def train_from_folder(
         donor.load(load_from)
         model.load_histogan_head(donor)
 
-    if not new:
+    if load_pt is not None:
+        # published reference recoloring .pt checkpoint (README.md:458-467)
+        from histogan_tpu.train import convert
+
+        model.init_GAN()
+        convert.install_into_rehisto_trainer(
+            model, convert.convert_rehistogan_pt_file(load_pt, image_size))
+        print(f"installed converted reference checkpoint {load_pt}")
+    elif not new:
         model.init_GAN()
         status = model.load(load_from)
         if load_histogan_weights and status == -1:
@@ -246,6 +254,8 @@ def get_args(argv=None):
     add("--target_number", type=int, default=50)
     add("--new", type=str2bool, default=False)
     add("--load_from", type=int, default=-1)
+    add("--load_pt", default=None, type=str,
+        help="Convert+install a published reference recoloring .pt.")
     add("--image_size", type=int, default=256)
     add("--network_capacity", type=int, default=16)
     add("--transparent", type=str2bool, default=False)
@@ -352,6 +362,7 @@ def main(argv=None):
         level_blending=args.level_blending,
         post_recoloring=args.post_recoloring,
         histogram_pool=args.histogram_pool, seed=args.seed,
+        load_pt=args.load_pt,
     )
 
 

@@ -71,7 +71,7 @@ class TorchGeneratorBlock(nn.Module):
         self.conv2 = TorchConv2DMod(filters, filters, 3)
         self.to_rgb = TorchRGBBlock(latent_dim, filters, upsample_rgb)
 
-    def forward(self, x, prev_rgb, istyle, inoise):
+    def forward(self, x, prev_rgb, istyle, inoise, latent=None):
         if self.upsample:
             x = F.interpolate(x, scale_factor=2, mode="bilinear",
                               align_corners=False)
@@ -80,6 +80,8 @@ class TorchGeneratorBlock(nn.Module):
         noise2 = self.to_noise2(inoise).permute((0, 3, 2, 1))
         x = self.conv1(x, self.to_style1(istyle))
         x = F.leaky_relu(x + noise1, 0.2)
+        if latent is not None:  # skip-latent add (histoGAN.py:472-473)
+            x = x + latent
         x = self.conv2(x, self.to_style2(istyle))
         x = F.leaky_relu(x + noise2, 0.2)
         rgb = self.to_rgb(x, prev_rgb, istyle)
