@@ -205,9 +205,9 @@ def get_args(argv=None):
 
 
 def main(argv=None):
-    from histogan_tpu.utils.platform import honor_jax_platforms_env
+    from histogan_tpu.utils.platform import setup_runtime
 
-    honor_jax_platforms_env()
+    setup_runtime()
     args = get_args(argv)
     train_from_folder(
         data=args.data, results_dir=args.results_dir, models_dir=args.models_dir,

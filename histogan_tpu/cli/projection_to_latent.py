@@ -7,9 +7,9 @@ from histogan_tpu.cli.projection_common import build_parser, run
 
 
 def main(argv=None):
-    from histogan_tpu.utils.platform import honor_jax_platforms_env
+    from histogan_tpu.utils.platform import setup_runtime
 
-    honor_jax_platforms_env()
+    setup_runtime()
     args = build_parser("./results_projection_to_latent").parse_args(argv)
     run(args, mode="latent")
 

@@ -19,3 +19,14 @@ def honor_jax_platforms_env() -> None:
             jax.config.update("jax_platforms", want)
         except Exception:
             pass
+
+
+def setup_runtime() -> None:
+    """CLI entry preamble: platform selection, then multi-host init —
+    strictly in that order, and strictly before any backend query
+    (jax.distributed.initialize is a dead letter once the local backend
+    is up; see parallel/mesh.py)."""
+    honor_jax_platforms_env()
+    from histogan_tpu.parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed()

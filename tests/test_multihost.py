@@ -1,0 +1,90 @@
+"""Multi-host (DCN) initialization test: two real OS processes form a
+jax.distributed cluster over a local coordinator, shard one global batch
+by host with local_shard_info, and must agree with the single-process
+result (VERDICT r1 item 5 — the r1 ordering bug made initialize a no-op).
+
+CPU cross-process collectives ride jaxlib's gloo backend; each child
+gets 2 virtual devices -> a 4-device global 'data' mesh.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+CHILD = r"""
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # sitecustomize workaround
+
+# the function under test: must run BEFORE any backend query
+from histogan_tpu.parallel import (
+    local_shard_info, make_mesh, maybe_initialize_distributed,
+)
+
+maybe_initialize_distributed()
+assert jax.process_count() == 2, f"process_count={jax.process_count()}"
+assert jax.device_count() == 4, f"device_count={jax.device_count()}"
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+mesh = make_mesh()
+local_b, idx, n = local_shard_info(8)
+assert (local_b, n) == (4, 2), (local_b, n)
+
+data = (np.arange(8, dtype=np.float32) + 1.0) ** 2
+local = data[idx * local_b:(idx + 1) * local_b]
+garr = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("data")), local, (8,))
+mean = jax.jit(jnp.mean, out_shardings=NamedSharding(mesh, P()))(garr)
+print("MEAN", float(mean), flush=True)
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_init(tmp_path):
+    script = tmp_path / "child.py"
+    script.write_text(CHILD)
+    port = _free_port()
+
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update({
+            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(pid),
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)], env=env, cwd=str(Path.cwd()),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    want = float(np.mean((np.arange(8, dtype=np.float32) + 1.0) ** 2))
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        mean_lines = [l for l in out.splitlines() if l.startswith("MEAN ")]
+        assert mean_lines, f"proc {pid} printed no MEAN:\n{out}"
+        got = float(mean_lines[-1].split()[1])
+        # single-process oracle: exact in fp32 (psum of identical shards)
+        assert got == want, f"proc {pid}: {got} != {want}"
+
+
+def test_maybe_initialize_is_noop_without_coordinator(monkeypatch):
+    from histogan_tpu.parallel import maybe_initialize_distributed
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    maybe_initialize_distributed()  # must not raise or touch the backend

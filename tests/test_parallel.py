@@ -93,3 +93,19 @@ def test_sharded_params_stay_in_sync():
     shards = [np.asarray(x.data) for x in leaf.addressable_shards]
     for other in shards[1:]:
         np.testing.assert_array_equal(shards[0], other)
+
+
+def test_shard_batch_rejects_non_divisible():
+    """A config typo (batch not divisible by the mesh) must raise, not
+    silently replicate into an n-fold throughput cliff (r1 weak #5)."""
+    import pytest
+    from histogan_tpu.parallel import make_mesh, shard_batch
+
+    mesh = make_mesh(4)
+    with pytest.raises(ValueError, match="not divisible"):
+        shard_batch({"x": np.zeros((6, 3))}, mesh)
+    with pytest.raises(ValueError, match="not divisible"):
+        shard_batch({"x": np.zeros((2, 6, 3))}, mesh, batch_axis=1)
+    # scalars can't be batch-sharded either
+    with pytest.raises(ValueError):
+        shard_batch({"x": np.zeros(())}, mesh)
