@@ -50,7 +50,13 @@ class RecoloringTrainer:
                  rec_loss="laplacian", initialize_gan=False, variance_loss=True,
                  internal_hist=False, change_hyperparameters=False,
                  change_hyperparameters_after=100000, latent_dim=512,
-                 style_depth=8, num_devices=None, seed=42, **_unused):
+                 style_depth=8, num_devices=None, seed=42,
+                 precision="fp32", sync_every=1, **_unused):
+        # sync_every: fetch step metrics every N steps (same async-
+        # metrics amortization as Trainer — the ~31 ms/step host sync
+        # dominated the r1 e2e numbers; NaN rollback then triggers up to
+        # N-1 steps late, reloading the same checkpoint).
+        self.sync_every = max(1, int(sync_every))
         self.cfg = ReHistoGANConfig(
             image_size=image_size, network_capacity=network_capacity,
             latent_dim=latent_dim, style_depth=style_depth,
@@ -68,6 +74,7 @@ class RecoloringTrainer:
             fixed_gan_weights=fixed_gan_weights, initialize_gan=initialize_gan,
             change_hyperparameters=change_hyperparameters,
             change_hyperparameters_after=change_hyperparameters_after,
+            precision=precision,
         )
         self.name = name
         self.results_dir = Path(results_dir)
@@ -198,22 +205,29 @@ class RecoloringTrainer:
             self.state, batch, self._next_key(), apply_gp=apply_gp,
             alpha=float(alpha), beta=float(beta), gamma=float(gamma),
         )
-        m = {k: float(v) for k, v in metrics.items()}
-        self.metrics_logger.log(self.steps, m)
-        self.d_loss, self.g_loss = m["d_loss"], m["g_loss"]
-        self.h_loss, self.r_loss = m["h_loss"], m["r_loss"]
-        self.var_loss = m["var_loss"]
-        if apply_gp:
-            self.last_gp_loss = m["gp_loss"]
 
         checkpoint_num = self.steps // self.cfg.save_every
-        if math.isnan(self.g_loss) or math.isnan(self.d_loss):
-            print(
-                f"NaN detected for generator or discriminator. "
-                f"Loading from checkpoint #{checkpoint_num}"
-            )
-            self.load(checkpoint_num)
-            raise NanException
+        must_sync = (
+            self.sync_every == 1
+            or self.steps % self.sync_every == 0
+            or self.steps % self.cfg.save_every == 0
+        )
+        if must_sync:
+            m = {k: float(v) for k, v in metrics.items()}
+            self.metrics_logger.log(self.steps, m)
+            self.d_loss, self.g_loss = m["d_loss"], m["g_loss"]
+            self.h_loss, self.r_loss = m["h_loss"], m["r_loss"]
+            self.var_loss = m["var_loss"]
+            if apply_gp:
+                self.last_gp_loss = m["gp_loss"]
+
+            if math.isnan(self.g_loss) or math.isnan(self.d_loss):
+                print(
+                    f"NaN detected for generator or discriminator. "
+                    f"Loading from checkpoint #{checkpoint_num}"
+                )
+                self.load(checkpoint_num)
+                raise NanException
 
         if jax.process_index() == 0:
             if self.steps % self.cfg.save_every == 0:

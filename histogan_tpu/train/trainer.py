@@ -262,19 +262,24 @@ class Trainer:
         num_rows = num_image_tiles
         ext = "jpg" if not cfg.transparent else "png"
 
-        if latents is None and n is None:
+        # latents and noise default independently (the reference also
+        # resolves each on its own, histoGAN/histoGAN.py:1040-1048; the
+        # r1 combined branch crashed on latents-without-noise calls)
+        if n is None:
             if load_noise_file is not None:
                 n = jnp.asarray(np.load(load_noise_file))
             else:
+                rows = num_rows ** 2 if latents is None else len(latents)
                 n = jax.random.uniform(
                     self._next_key(),
-                    (num_rows ** 2, cfg.image_size, cfg.image_size, 1),
+                    (rows, cfg.image_size, cfg.image_size, 1),
                 )
+        if latents is None:
             if load_latent_file is not None:
                 latents = jnp.asarray(np.load(load_latent_file))
             else:
                 latents = jax.random.normal(
-                    self._next_key(), (num_rows ** 2, cfg.latent_dim)
+                    self._next_key(), (len(n), cfg.latent_dim)
                 )
 
         images = self.generate_truncated(

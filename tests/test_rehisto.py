@@ -121,3 +121,27 @@ def test_fixed_gan_weights_freezes_head(tiny_dataset, tmp_path_factory):
     assert max_delta(g_before, g_after) == 0.0
     assert max_delta(h_before, h_after) == 0.0
     assert max_delta(ed_before, ed_after) > 0.0
+
+
+def test_rehisto_bf16_and_sync_every(tiny_dataset, tmp_path_factory):
+    """bf16 compute policy + async metrics on the recoloring trainer
+    (r1 weak #4: neither was wired for RecoloringTrainer)."""
+    out = tmp_path_factory.mktemp("run_bf16")
+    t = RecoloringTrainer(
+        name="bf16_re", results_dir=str(out / "results"),
+        models_dir=str(out / "models"), image_size=32, network_capacity=4,
+        latent_dim=32, style_depth=2, batch_size=2,
+        gradient_accumulate_every=1, hist_bin=16, save_every=100,
+        num_devices=1, seed=0, precision="bf16", sync_every=3,
+    )
+    assert t.cfg.precision == "bf16" and t.sync_every == 3
+    t.init_GAN()
+    t.set_data_src(tiny_dataset, sampling=True)
+    t.train(alpha=32, beta=1.5, gamma=4)  # step 0: syncs (0 % 3 == 0)
+    first = (t.d_loss, t.g_loss)
+    assert all(np.isfinite(v) for v in first)
+    t.train(alpha=32, beta=1.5, gamma=4)  # step 1: no sync
+    assert (t.d_loss, t.g_loss) == first  # metrics not fetched
+    t.train(alpha=32, beta=1.5, gamma=4)  # step 2: no sync (2 % 3 != 0)
+    t.train(alpha=32, beta=1.5, gamma=4)  # step 3: syncs
+    assert all(np.isfinite(v) for v in (t.d_loss, t.g_loss, t.r_loss))

@@ -136,3 +136,16 @@ def test_fid_tracking_wired(trainer):
     step, val = line.split(",")
     assert np.isfinite(float(val))
     trainer.calculate_fid_every = None
+
+
+def test_evaluate_latents_without_noise(trainer):
+    """r1 weak #7: evaluate(latents=...) without n crashed; latents and
+    noise must default independently (histoGAN/histoGAN.py:1040-1048)."""
+    latents = np.random.RandomState(5).randn(4, 32).astype(np.float32)
+    imgs = trainer.evaluate(num=None, latents=latents, num_image_tiles=2)
+    assert imgs.shape == (4, 32, 32, 3)
+    assert np.isfinite(imgs).all()
+
+    noise = np.random.RandomState(6).rand(4, 32, 32, 1).astype(np.float32)
+    imgs2 = trainer.evaluate(num=None, n=noise, num_image_tiles=2)
+    assert imgs2.shape == (4, 32, 32, 3)
