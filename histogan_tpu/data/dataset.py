@@ -50,21 +50,74 @@ def _resize_pil(arr: np.ndarray, size_hw) -> np.ndarray:
 class ImageFolderDataset:
     """Training image source with the reference's transform chain:
     resize-to-minimum, shorter-side resize, random-resized-crop with prob
-    ``aug_prob`` else center-crop (histoGAN/histoGAN.py:271-281)."""
+    ``aug_prob`` else center-crop (histoGAN/histoGAN.py:271-281).
+
+    Decoded-image cache: with ``cache_dir`` set, the deterministic
+    (non-augmented, center-crop) transform of every image is decoded ONCE
+    into a memory-mapped uint8 ``.npy`` alongside the histogram pool;
+    per-step feeding then costs an mmap read + /255 instead of JPEG
+    decode + two PIL resizes (~100 ms/img at 256px on this 1-core host).
+    Lossless: the decode path's output is exactly uint8/255 (it round-
+    trips through PIL uint8), asserted by tests/test_data.py. Augmented
+    draws (prob ``aug_prob``) still decode — the random crop needs the
+    pre-crop pixels."""
 
     def __init__(self, folder: str, image_size: int = 256,
-                 transparent: bool = False, aug_prob: float = 0.0):
+                 transparent: bool = False, aug_prob: float = 0.0,
+                 cache_dir: Optional[str] = None):
         self.paths = list_images(folder)
         if not self.paths:
             raise FileNotFoundError(f"no {EXTS} images under {folder}")
         self.image_size = image_size
         self.transparent = transparent
         self.aug_prob = aug_prob
+        self._cache: Optional[np.ndarray] = None
+        if cache_dir is not None:
+            self._cache = self._build_or_load_cache(cache_dir)
 
     def __len__(self) -> int:
         return len(self.paths)
 
+    def _cache_file(self, cache_dir: str) -> Path:
+        import hashlib
+
+        ident = "\n".join(
+            f"{p}:{Path(p).stat().st_mtime_ns}:{Path(p).stat().st_size}"
+            for p in self.paths
+        )
+        cfg = f"{self.image_size}:{self.transparent}"
+        key = hashlib.sha256((ident + cfg).encode()).hexdigest()[:24]
+        return Path(cache_dir) / f"img_cache_{key}.npy"
+
+    def _build_or_load_cache(self, cache_dir: str) -> np.ndarray:
+        path = self._cache_file(cache_dir)
+        if not path.exists():
+            path.parent.mkdir(parents=True, exist_ok=True)
+            tmp = path.with_suffix(".tmp.npy")
+            c = 4 if self.transparent else 3
+            size = self.image_size
+            arr = np.lib.format.open_memmap(
+                tmp, mode="w+", dtype=np.uint8,
+                shape=(len(self.paths), size, size, c),
+            )
+            for i in range(len(self.paths)):
+                img = self._decode(i, use_aug=False, rng=None)
+                arr[i] = np.round(img * 255.0).astype(np.uint8)
+            arr.flush()
+            del arr
+            tmp.replace(path)  # atomic
+        return np.load(path, mmap_mode="r")
+
     def get_image(self, index: int, rng: np.random.Generator) -> np.ndarray:
+        # one rng draw per item regardless of path, matching the
+        # reference's RandomApply (histoGAN/histoGAN.py:278-281)
+        use_aug = (rng.random() < self.aug_prob) if rng is not None else False
+        if self._cache is not None and not use_aug:
+            return np.asarray(self._cache[index], np.float32) / 255.0
+        return self._decode(index, use_aug, rng)
+
+    def _decode(self, index: int, use_aug: bool,
+                rng: Optional[np.random.Generator]) -> np.ndarray:
         size = self.image_size
         arr = load_rgb(self.paths[index], self.transparent)
         h, w = arr.shape[:2]
@@ -77,7 +130,7 @@ class ImageFolderDataset:
             scale = size / min(h, w)
             arr = _resize_pil(arr, (max(size, round(h * scale)), max(size, round(w * scale))))
             h, w = arr.shape[:2]
-        if rng.random() < self.aug_prob:
+        if use_aug:
             # RandomResizedCrop(scale=(0.5,1.0), ratio=(0.98,1.02))
             area = h * w
             for _ in range(10):
@@ -88,13 +141,9 @@ class ImageFolderDataset:
                 if 0 < cw <= w and 0 < ch <= h:
                     i = rng.integers(0, h - ch + 1)
                     j = rng.integers(0, w - cw + 1)
-                    arr = _resize_pil(arr[i : i + ch, j : j + cw], (size, size))
-                    break
-            else:
-                arr = self._center_crop(arr, size)
-        else:
-            arr = self._center_crop(arr, size)
-        return arr
+                    return _resize_pil(arr[i : i + ch, j : j + cw], (size, size))
+            return self._center_crop(arr, size)
+        return self._center_crop(arr, size)
 
     @staticmethod
     def _center_crop(arr: np.ndarray, size: int) -> np.ndarray:

@@ -173,7 +173,8 @@ class RecoloringTrainer:
     # ------------------------------------------------------------- data
     def set_data_src(self, folder: str, sampling: bool = True) -> None:
         cfg = self.cfg
-        self.dataset = ImageFolderDataset(folder, cfg.image_size, cfg.transparent)
+        self.dataset = ImageFolderDataset(folder, cfg.image_size, cfg.transparent,
+                                          cache_dir=str(self.store.dir))
         self.pool = HistogramPool(
             self.dataset.paths, cfg.hist_insz, cfg.hist_bin, cfg.hist_method,
             cfg.hist_resizing, cfg.hist_sigma, cfg.transparent,

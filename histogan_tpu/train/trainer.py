@@ -168,7 +168,8 @@ class Trainer:
     def set_data_src(self, folder: str) -> None:
         cfg = self.cfg
         self.dataset = ImageFolderDataset(
-            folder, cfg.image_size, cfg.transparent, cfg.dataset_aug_prob
+            folder, cfg.image_size, cfg.transparent, cfg.dataset_aug_prob,
+            cache_dir=str(self.store.dir),
         )
         self.pool = HistogramPool(
             self.dataset.paths, cfg.hist_insz, cfg.hist_bin, cfg.hist_method,

@@ -7,10 +7,19 @@ D fwd, D fwd+bwd, GP step, histogram loss fwd+bwd, optimizer update.
 Usage: python scripts/profile_step.py [bf16|fp32]
 """
 
+import os
 import sys
 import time
 
 import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -102,6 +111,59 @@ def main():
     up = jax.jit(lambda x: jax.image.resize(
         x, (b, 256, 256, 64), "bilinear", antialias=False))
     timeit(up, x128, label=f"bilinear up 128->256 c64 ({precision})")
+
+    # ---- full-step ablation: where does the 256px step budget go?
+    # Times the real make_train_step under flag/config variants; the
+    # difference between variants attributes the cost of each term.
+    from histogan_tpu.parallel import make_mesh, replicate, shard_batch
+    from histogan_tpu.train.state import HistoGANState
+    from histogan_tpu.train.steps import Models, make_train_step
+    from histogan_tpu.models import StyleVectorizer
+
+    S = StyleVectorizer(cfg.latent_dim, cfg.style_depth)
+    H = HistVectorizer(cfg.hist_bin, cfg.latent_dim, cfg.style_depth)
+    models = Models(S, H, G, D)
+    mesh = make_mesh()
+    sp = S.init(ks[7], jnp.zeros((1, cfg.latent_dim)))["params"]
+    hp = H.init(ks[7], jnp.zeros((1, 3, cfg.hist_bin, cfg.hist_bin)))["params"]
+    params_g = {"S": sp, "H": hp, "G": gp32}
+    g_tx = diffgrad(2e-4, 0.5, 0.9)
+    d_tx = diffgrad(2e-4, 0.5, 0.9)
+
+    rng = np.random.default_rng(0)
+    a = 1
+    norm = lambda x: x / x.sum((2, 3, 4), keepdims=True)
+    batch = shard_batch({
+        "d_images": rng.random((a, b, cfg.image_size, cfg.image_size, 3), np.float32),
+        "d_hists": norm(rng.random((a, b, 3, cfg.hist_bin, cfg.hist_bin), np.float32)),
+        "g_hists": norm(rng.random((a, b, 3, cfg.hist_bin, cfg.hist_bin), np.float32)),
+    }, mesh, batch_axis=1)
+
+    def time_step(cfg_v, label, apply_gp, apply_pl, n=10):
+        state = replicate(HistoGANState(
+            step=jnp.zeros((), jnp.int32), params_g=params_g,
+            params_d=dp32, ema=jax.tree_util.tree_map(jnp.copy, params_g),
+            opt_g=g_tx.init(params_g), opt_d=d_tx.init(dp32),
+            pl_mean=jnp.zeros(()),
+        ), mesh)
+        step = make_train_step(models, g_tx, d_tx, cfg_v)
+        state, m = step(state, batch, ks[6], apply_gp=apply_gp, apply_pl=apply_pl)
+        float(m["d_loss"])
+        t0 = time.perf_counter()
+        for i in range(n):
+            state, m = step(state, batch, jax.random.fold_in(key, i),
+                            apply_gp=apply_gp, apply_pl=apply_pl)
+        float(m["d_loss"])
+        dt_s = (time.perf_counter() - t0) / n
+        print(f"{label:<40} {dt_s * 1e3:8.2f} ms  "
+              f"({b / dt_s:7.1f} imgs/s)", flush=True)
+        return dt_s
+
+    print("\n---- full-step ablation (256px cap16 batch16) ----", flush=True)
+    time_step(cfg, "step: plain (no gp, no pl)", False, False)
+    time_step(cfg, "step: +gp", True, False)
+    time_step(cfg, "step: +pl", False, True)
+    time_step(cfg, "step: +gp +pl", True, True)
 
 
 if __name__ == "__main__":

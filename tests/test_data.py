@@ -95,3 +95,47 @@ def test_loader_rehisto_contract(mixed_dataset):
     # self_hist: g_hists are pool entries (no interpolation)
     dists = np.abs(batch["g_hists"][0, 0][None] - pool.pool).sum(axis=(1, 2, 3))
     assert dists.min() < 1e-6
+
+
+def test_image_cache_lossless_and_served(tmp_path):
+    """The decoded-image cache must serve byte-identical arrays to the
+    decode path (the decode path's output is exactly uint8/255), and
+    augmented draws must still go through the real decode."""
+    from PIL import Image
+
+    from histogan_tpu.data.dataset import ImageFolderDataset
+
+    root = tmp_path / "imgs"
+    root.mkdir()
+    rng0 = np.random.RandomState(7)
+    # mixed sizes: downscale, exact, upscale paths
+    for i, s in enumerate((50, 32, 20)):
+        Image.fromarray((rng0.rand(s, s + 4, 3) * 255).astype(np.uint8)).save(
+            root / f"{i}.jpg")
+
+    plain = ImageFolderDataset(str(root), image_size=32)
+    cached = ImageFolderDataset(str(root), image_size=32,
+                                cache_dir=str(tmp_path / "cache"))
+    assert cached._cache is not None and cached._cache.dtype == np.uint8
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        a = plain.get_image(i, rng)
+        b = cached.get_image(i, rng)
+        np.testing.assert_array_equal(a, b)
+
+    # second construction loads the same file (no rebuild)
+    f = cached._cache_file(str(tmp_path / "cache"))
+    assert f.exists()
+    mtime = f.stat().st_mtime_ns
+    again = ImageFolderDataset(str(root), image_size=32,
+                               cache_dir=str(tmp_path / "cache"))
+    assert f.stat().st_mtime_ns == mtime
+    np.testing.assert_array_equal(np.asarray(again._cache),
+                                  np.asarray(cached._cache))
+
+    # augmented draws diverge from the center-crop cache with aug_prob=1
+    aug = ImageFolderDataset(str(root), image_size=32, aug_prob=1.0,
+                             cache_dir=str(tmp_path / "cache"))
+    out = aug.get_image(0, np.random.default_rng(3))
+    assert out.shape == (32, 32, 3)
+    assert not np.array_equal(out, cached.get_image(0, rng))
