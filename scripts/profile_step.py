@@ -35,7 +35,7 @@ def timeit(fn, *args, n=10, label=""):
         r = fn(*args)
     s = float(jnp.sum(jax.tree_util.tree_leaves(r)[0]))
     dt = (time.perf_counter() - t0) / n
-    print(f"{label::<40} {dt * 1e3:8.2f} ms")
+    print(f"{label:<40} {dt * 1e3:8.2f} ms", flush=True)
     return dt
 
 
