@@ -42,7 +42,8 @@ BASELINE_IMGS_PER_SEC = 121.48  # round-1 fp32, TPU v5e-1, 2026-08-16
 R1_REHISTO_FP32 = 81.4  # r1 reHistoGAN step fp32 batch 16, v5e-1
 
 
-def measure(precision: str = "bf16", n_steps: int = 32) -> float:
+def measure(precision: str = "bf16", n_steps: int = 32,
+            batch_size: int = 16) -> float:
     from histogan_tpu.models import (
         Discriminator, Generator, HistVectorizer, StyleVectorizer,
     )
@@ -53,7 +54,7 @@ def measure(precision: str = "bf16", n_steps: int = 32) -> float:
     from histogan_tpu.utils.config import HistoGANConfig
 
     cfg = HistoGANConfig(
-        image_size=256, network_capacity=16, batch_size=16,
+        image_size=256, network_capacity=16, batch_size=batch_size,
         gradient_accumulate_every=1, precision=precision,
     )
     mesh = make_mesh()
@@ -103,11 +104,16 @@ def measure(precision: str = "bf16", n_steps: int = 32) -> float:
     step_fn = make_train_step(models, g_tx, d_tx, cfg)
 
     def flags(i):
-        return dict(apply_gp=i % 4 == 0, apply_pl=i % 32 == 0)
+        # gp every 4th, pl every 32nd, ema every 10th (the steady-state
+        # schedule of a step>20000 trainer; histoGAN/histoGAN.py:882-883,
+        # 996-998)
+        return dict(apply_gp=i % 4 == 0, apply_pl=i % 32 == 0,
+                    apply_ema=i % 10 == 0)
 
-    # warmup: compile all three variants (value fetch actually synchronizes;
-    # block_until_ready is a no-op on the tunneled axon platform)
-    for i in (0, 1, 4):
+    # warmup: compile every reachable variant (value fetch actually
+    # synchronizes; block_until_ready is a no-op on the tunneled axon
+    # platform)
+    for i in (0, 1, 4, 10, 20):
         state, metrics = step_fn(state, batch, jax.random.fold_in(key, i), **flags(i))
         float(metrics["d_loss"])
 
@@ -208,12 +214,19 @@ def main():
         "vs_baseline": round(vs, 3),
         "baseline_is": "r1_fp32_self (121.48 imgs/sec, v5e-1)",
     }
+    extras = {}
     if os.environ.get("BENCH_REHISTO", "1") != "0":
         rehisto = measure_rehisto(precision)
-        out["extras"] = {
-            "rehisto_train_imgs_per_sec_256px": round(rehisto, 2),
-            "rehisto_vs_r1_fp32": round(rehisto / R1_REHISTO_FP32, 3),
-        }
+        extras["rehisto_train_imgs_per_sec_256px"] = round(rehisto, 2)
+        extras["rehisto_vs_r1_fp32"] = round(rehisto / R1_REHISTO_FP32, 3)
+    if os.environ.get("BENCH_BATCH32", "0") == "1":
+        # batch-32 config: the MXU is underfilled at the reference's
+        # effective batch 16 (BASELINE.md roofline analysis); offered as
+        # a config, measured on demand
+        extras["batch32_imgs_per_sec"] = round(measure(precision,
+                                                       batch_size=32), 2)
+    if extras:
+        out["extras"] = extras
     print(json.dumps(out))
 
 

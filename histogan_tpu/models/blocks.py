@@ -104,13 +104,14 @@ class GeneratorBlock(nn.Module):
             if inoise is None:
                 raise ValueError("No noise is given")
             h, w = x.shape[1], x.shape[2]
-            crop = inoise[:, :h, :w, :]
-            noise1 = jnp.swapaxes(
-                TorchLinear(self.filters, zero_init=True, name="to_noise1")(crop), 1, 2
-            )
-            noise2 = jnp.swapaxes(
-                TorchLinear(self.filters, zero_init=True, name="to_noise2")(crop), 1, 2
-            )
+            # quirk transpose applied to the 1-channel noise BEFORE the
+            # per-pixel Linear: numerically identical to transposing the
+            # (B, h, w, F) projection afterwards, but the relayout moves
+            # F x less data (measured: the post-Linear swap was one of
+            # the larger HBM consumers of the G fwd+bwd at 256px)
+            crop = jnp.swapaxes(inoise[:, :h, :w, :], 1, 2)
+            noise1 = TorchLinear(self.filters, zero_init=True, name="to_noise1")(crop)
+            noise2 = TorchLinear(self.filters, zero_init=True, name="to_noise2")(crop)
         else:
             # keep param structure stable even when noise is overridden
             TorchLinear(self.filters, zero_init=True, name="to_noise1")

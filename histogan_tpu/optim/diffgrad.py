@@ -12,6 +12,14 @@ Update rule (matching torch_optimizer's implementation):
     m_t = b1 m + (1-b1) g           v_t = b2 v + (1-b2) g^2
     dfc = 1 / (1 + exp(-|g_prev - g|))
     p  -= lr * sqrt(1-b2^t)/(1-b1^t) * dfc * m_t / (sqrt(v_t) + eps)
+
+TPU layout: one fusion per parameter leaf (default). A flat layout
+(``flat=True``: ONE contiguous vector per moment via ravel_pytree, one
+fusion total) was hypothesized faster but MEASURED SLOWER on v5e-1
+(99.8M params / 124 leaves, fp32: per-leaf 10.25 ms vs flat 13.98 ms —
+the ravel concat + unravel split copies cost more than the per-fusion
+overhead they remove). Kept as an option with an exact-equality test;
+the element math is identical either way.
 """
 
 from __future__ import annotations
@@ -22,6 +30,7 @@ import chex
 import jax
 import jax.numpy as jnp
 import optax
+from jax.flatten_util import ravel_pytree
 
 
 class DiffGradState(NamedTuple):
@@ -36,8 +45,17 @@ def diffgrad(
     b1: float = 0.5,
     b2: float = 0.9,
     eps: float = 1e-8,
+    flat: bool = False,
 ) -> optax.GradientTransformation:
     def init_fn(params):
+        if flat:
+            flat0, _ = ravel_pytree(params)
+            return DiffGradState(
+                count=jnp.zeros([], jnp.int32),
+                exp_avg=jnp.zeros_like(flat0),
+                exp_avg_sq=jnp.zeros_like(flat0),
+                previous_grad=jnp.zeros_like(flat0),
+            )
         zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
         return DiffGradState(
             count=jnp.zeros([], jnp.int32),
@@ -52,6 +70,16 @@ def diffgrad(
         b1c = 1.0 - b1 ** count.astype(jnp.float32)
         b2c = 1.0 - b2 ** count.astype(jnp.float32)
         step_size = learning_rate * jnp.sqrt(b2c) / b1c
+
+        if flat:
+            g, unravel = ravel_pytree(updates)
+            m2 = b1 * state.exp_avg + (1 - b1) * g
+            v2 = b2 * state.exp_avg_sq + (1 - b2) * g * g
+            dfc = jax.nn.sigmoid(jnp.abs(state.previous_grad - g))
+            upd = -step_size * dfc * m2 / (jnp.sqrt(v2) + eps)
+            return unravel(upd), DiffGradState(
+                count=count, exp_avg=m2, exp_avg_sq=v2, previous_grad=g,
+            )
 
         # single pass per leaf (one XLA fusion each) — measured ~4x faster
         # than chained tree_maps on TPU (kernel-launch bound over many

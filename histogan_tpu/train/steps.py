@@ -205,7 +205,7 @@ def make_train_step(models: Models, g_tx, d_tx, cfg):
         return loss, (adv_loss, hist_loss, avg_pl, vq_stats)
 
     def train_step(state: HistoGANState, batch: Dict[str, jnp.ndarray], key,
-                   apply_gp: bool, apply_pl: bool):
+                   apply_gp: bool, apply_pl: bool, apply_ema: bool = False):
         k_d, k_g = jax.random.split(key)
 
         # ---------------- D phase: scan over accumulation axis
@@ -266,14 +266,18 @@ def make_train_step(models: Models, g_tx, d_tx, cfg):
                 jnp.isnan(avg_pl), pl_mean, pl_mean * 0.99 + 0.01 * avg_pl
             )
 
-        do_ema = (step > 20000) & (step % 10 == 0)
-        do_reset = (step <= 25000) & (step % 1000 == 2)
-
-        def _ema(e, p):
-            e2 = jnp.where(do_ema, e * 0.995 + 0.005 * p, e)
-            return jnp.where(do_reset, p, e2)
-
-        ema = jax.tree_util.tree_map(_ema, state.ema, params_g)
+        # EMA schedule (steps>20000 every 10, histoGAN/histoGAN.py:996-998)
+        # is host-known — the flag is STATIC, so the ~1.2 GB ema
+        # read+write is skipped entirely on the ~9/10 steps where the
+        # schedule does nothing (the r1 traced `where` paid it every
+        # step); when off, the donated ema buffer passes through
+        # untouched. The rare reset (<=25000 every 1000, :999-1000) is
+        # applied eagerly by the Trainer between steps.
+        if apply_ema:
+            ema = jax.tree_util.tree_map(lambda e, p: e * 0.995 + 0.005 * p,
+                                         state.ema, params_g)
+        else:
+            ema = state.ema
 
         metrics = {
             "d_loss": jnp.mean(divs),
@@ -295,5 +299,6 @@ def make_train_step(models: Models, g_tx, d_tx, cfg):
         )
         return new_state, metrics
 
-    return jax.jit(train_step, static_argnames=("apply_gp", "apply_pl"),
+    return jax.jit(train_step,
+                   static_argnames=("apply_gp", "apply_pl", "apply_ema"),
                    donate_argnums=(0,))

@@ -198,12 +198,21 @@ class Trainer:
 
         apply_gp = self.steps % 4 == 0
         apply_pl = self.steps % 32 == 0
+        # EMA schedule computed on host (histoGAN/histoGAN.py:996-1000);
+        # static flag -> the EMA traffic is skipped on off-schedule steps
+        apply_ema = self.steps > 20000 and self.steps % 10 == 0
+        apply_reset = self.steps <= 25000 and self.steps % 1000 == 2
 
         batch = next(self.loader)
         batch = shard_batch(batch, self.mesh, batch_axis=1)
         self.state, metrics = self._train_step(
-            self.state, batch, self._next_key(), apply_gp=apply_gp, apply_pl=apply_pl
+            self.state, batch, self._next_key(), apply_gp=apply_gp,
+            apply_pl=apply_pl, apply_ema=apply_ema
         )
+        if apply_reset:  # reset_parameter_averaging, applied eagerly
+            self.state = self.state.replace(
+                ema=jax.tree_util.tree_map(jnp.copy, self.state.params_g)
+            )
 
         if self.profiler_hook is not None:
             self.profiler_hook.step(self.steps)

@@ -190,3 +190,33 @@ def test_variance_loss_quirk_shapes():
     v = float(losses.variance_loss(hist, hist_of_hist, xin, xgen, k, beta=1.5))
     assert np.isfinite(v)
     assert v <= 0  # negative sign encourages color change
+
+
+def test_diffgrad_flat_matches_per_leaf():
+    """flat=True (single-fusion state layout) must be numerically
+    identical to the per-leaf form on a real pytree over several steps."""
+    import jax
+    import jax.numpy as jnp
+
+    from histogan_tpu.optim import diffgrad
+
+    params = {
+        "a": jnp.asarray(np.random.RandomState(0).randn(3, 5), jnp.float32),
+        "b": {"w": jnp.asarray(np.random.RandomState(1).randn(7), jnp.float32),
+              "x": jnp.asarray(np.random.RandomState(2).randn(2, 2, 2), jnp.float32)},
+    }
+    tx_f = diffgrad(1e-2, 0.5, 0.9, flat=True)
+    tx_l = diffgrad(1e-2, 0.5, 0.9, flat=False)
+    sf, sl = tx_f.init(params), tx_l.init(params)
+    pf = pl = params
+    for i in range(4):
+        g = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.random.RandomState(10 + i).randn(*x.shape),
+                                  jnp.float32), params)
+        uf, sf = tx_f.update(g, sf, pf)
+        ul, sl = tx_l.update(g, sl, pl)
+        for a, b in zip(jax.tree_util.tree_leaves(uf),
+                        jax.tree_util.tree_leaves(ul)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        pf = jax.tree_util.tree_map(jnp.add, pf, uf)
+        pl = jax.tree_util.tree_map(jnp.add, pl, ul)

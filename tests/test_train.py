@@ -149,3 +149,29 @@ def test_evaluate_latents_without_noise(trainer):
     noise = np.random.RandomState(6).rand(4, 32, 32, 1).astype(np.float32)
     imgs2 = trainer.evaluate(num=None, n=noise, num_image_tiles=2)
     assert imgs2.shape == (4, 32, 32, 3)
+
+
+def test_ema_schedule_static_flags(trainer):
+    """EMA updates only on-schedule (>20000, every 10th), passes through
+    untouched otherwise, and the <=25000 every-1000(+2) reset copies the
+    post-update params (histoGAN/histoGAN.py:996-1000) — now host-static
+    flags instead of traced where()s."""
+    import jax
+
+    leaf = lambda t: np.asarray(jax.device_get(t["G"]["initial_block"]))
+
+    trainer.steps = 20011  # off-schedule
+    ema_before = leaf(trainer.state.ema)
+    trainer.train(alpha=2)
+    np.testing.assert_array_equal(ema_before, leaf(trainer.state.ema))
+
+    trainer.steps = 20020  # on-schedule (and not a reset step)
+    ema_pre = leaf(trainer.state.ema)
+    trainer.train(alpha=2)
+    want = ema_pre * 0.995 + 0.005 * leaf(trainer.state.params_g)
+    np.testing.assert_allclose(leaf(trainer.state.ema), want, atol=1e-7)
+
+    trainer.steps = 1002  # reset window
+    trainer.train(alpha=2)
+    np.testing.assert_array_equal(leaf(trainer.state.ema),
+                                  leaf(trainer.state.params_g))
