@@ -214,20 +214,26 @@ def main():
         "vs_baseline": round(vs, 3),
         "baseline_is": "r1_fp32_self (121.48 imgs/sec, v5e-1)",
     }
+    # extras are measured AFTER the headline metric and printed onto the
+    # same line only if they succeed — a failure in an extra must never
+    # lose the 20-minute headline measurement (learned the hard way)
     extras = {}
-    if os.environ.get("BENCH_REHISTO", "1") != "0":
-        rehisto = measure_rehisto(precision)
-        extras["rehisto_train_imgs_per_sec_256px"] = round(rehisto, 2)
-        extras["rehisto_vs_r1_fp32"] = round(rehisto / R1_REHISTO_FP32, 3)
-    if os.environ.get("BENCH_BATCH32", "0") == "1":
-        # batch-32 config: the MXU is underfilled at the reference's
-        # effective batch 16 (BASELINE.md roofline analysis); offered as
-        # a config, measured on demand
-        extras["batch32_imgs_per_sec"] = round(measure(precision,
-                                                       batch_size=32), 2)
+    try:
+        if os.environ.get("BENCH_REHISTO", "1") != "0":
+            rehisto = measure_rehisto(precision)
+            extras["rehisto_train_imgs_per_sec_256px"] = round(rehisto, 2)
+            extras["rehisto_vs_r1_fp32"] = round(rehisto / R1_REHISTO_FP32, 3)
+        if os.environ.get("BENCH_BATCH32", "0") == "1":
+            # batch-32 config: the MXU is underfilled at the reference's
+            # effective batch 16 (BASELINE.md roofline analysis); offered
+            # as a config, measured on demand
+            extras["batch32_imgs_per_sec"] = round(measure(precision,
+                                                           batch_size=32), 2)
+    except Exception as e:  # noqa: BLE001
+        extras["extras_error"] = f"{type(e).__name__}: {e}"[:200]
     if extras:
         out["extras"] = extras
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -83,22 +83,48 @@ def make_rehisto_train_step(models: RecolorModels, g_tx, d_tx, cfg):
 
         dt = compute_dtype(cfg)
         pd = cast_tree(params_d, dt)
-        fake_logits, fake_q = models.D.apply(
-            {"params": pd}, fake_images.astype(dt))
-        real_logits, real_q = models.D.apply(
-            {"params": pd}, real_images.astype(dt))
-        divergence = losses.hinge_divergence(
-            real_logits.astype(jnp.float32), fake_logits.astype(jnp.float32))
-        loss = divergence + jnp.mean((fake_q + real_q).astype(jnp.float32))
-        gp = jnp.zeros(())
-        if apply_gp:
-            gp = losses.gradient_penalty(
-                lambda imgs: models.D.apply(
-                    {"params": pd}, imgs.astype(dt))[0].astype(jnp.float32),
-                real_images,
+
+        from histogan_tpu.train import steps as _steps
+
+        if _steps.MERGE_D_FORWARD and not apply_gp:
+            # merged fake+real forward: one batch-2B conv stack instead of
+            # two half-filled ones (D is per-sample; identical numerics —
+            # same optimization as the histoGAN step, tests/test_rehisto.py)
+            b = fake_images.shape[0]
+            logits, _ = models.D.apply(
+                {"params": pd},
+                jnp.concatenate(
+                    [fake_images.astype(dt), real_images.astype(dt)], axis=0
+                ),
             )
-            loss = loss + gp
-        return loss, (divergence, gp)
+            divergence = losses.hinge_divergence(
+                logits[b:].astype(jnp.float32), logits[:b].astype(jnp.float32)
+            )
+            return divergence, (divergence, jnp.zeros(()))
+
+        fake_logits, _ = models.D.apply({"params": pd}, fake_images.astype(dt))
+
+        if apply_gp:
+            # share ONE real forward between the hinge logits and the
+            # penalty's input gradient via vjp (histoGAN steps.py does the
+            # same; replaces the r1 third forward inside gradient_penalty)
+            def real_fwd(imgs):
+                return models.D.apply(
+                    {"params": pd}, imgs.astype(dt))[0].astype(jnp.float32)
+
+            real_logits, vjp_fn = jax.vjp(real_fwd, real_images)
+            (img_grads,) = vjp_fn(jnp.ones_like(real_logits))
+            flat = img_grads.reshape(real_images.shape[0], -1)
+            gp = 10.0 * jnp.mean(
+                jnp.square(jnp.linalg.norm(flat, axis=1) - 1.0))
+        else:  # unmerged reference-shaped path (MERGE_D_FORWARD=False)
+            real_logits, _ = models.D.apply(
+                {"params": pd}, real_images.astype(dt))
+            real_logits = real_logits.astype(jnp.float32)
+            gp = jnp.zeros(())
+        divergence = losses.hinge_divergence(
+            real_logits, fake_logits.astype(jnp.float32))
+        return divergence + gp, (divergence, gp)
 
     def g_loss_fn(params_g, params_d, image_batch, hist_batch, key,
                   alpha, beta, gamma):

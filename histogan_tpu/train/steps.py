@@ -32,6 +32,11 @@ from histogan_tpu.train.state import HistoGANState
 
 EPS = 1e-8  # histoGAN/histoGAN.py:53
 
+# Merge the fake+real D forwards into one batch-2B call on non-GP steps
+# (numerically identical without VQ; tests/test_train.py pins equality by
+# flipping this off). Module-level so tests can monkeypatch it.
+MERGE_D_FORWARD = True
+
 
 class Models(NamedTuple):
     S: Any
@@ -137,6 +142,35 @@ def make_train_step(models: Models, g_tx, d_tx, cfg):
     # ----------------------------------------------------------------- D
     def d_loss_fn(params_d, vq_stats, fake_images, real_images, keys, apply_gp):
         k_aug_f, k_aug_r = keys
+
+        if MERGE_D_FORWARD and not apply_gp and not vq_stats:
+            # Merged D forward: augment fake/real separately (separate
+            # keys, reference draw-parity) then run ONE batch-2B forward.
+            # D is per-sample (no batch coupling without VQ stats), so
+            # splitting the logits is numerically identical to two calls
+            # — and the 2B conv fwd+bwd fills the MXU twice as well
+            # (measured: see docs/DESIGN.md round-2 ledger).
+            dt = compute_dtype(cfg)
+            imgs_f = fake_images.astype(dt)
+            imgs_r = real_images.astype(dt)
+            if cfg.aug_prob > 0.0:
+                imgs_f = aug_wrapper(k_aug_f, imgs_f, cfg.aug_prob, cfg.aug_types)
+                imgs_r = aug_wrapper(k_aug_r, imgs_r, cfg.aug_prob, cfg.aug_types)
+            b = imgs_f.shape[0]
+            logits, qloss = models.D.apply(
+                _d_variables(cast_tree(params_d, dt), vq_stats),
+                jnp.concatenate([imgs_f, imgs_r], axis=0),
+            )
+            fake_logits = logits[:b].astype(jnp.float32)
+            real_logits = logits[b:].astype(jnp.float32)
+            divergence = losses.hinge_divergence(real_logits, fake_logits)
+            # VQ blocks are structurally absent here (vq_stats empty), so
+            # the quantize term is an exact zero like the unmerged path's
+            quantize_loss = jnp.mean(qloss.astype(jnp.float32))
+            return divergence + quantize_loss, (
+                divergence, quantize_loss, jnp.zeros(()), vq_stats
+            )
+
         fake_logits, fake_q, vq_stats = _apply_d(
             models, params_d, vq_stats, fake_images, k_aug_f, cfg, True
         )

@@ -11,6 +11,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 jax.config.update(
@@ -50,7 +52,7 @@ def main():
     from histogan_tpu.utils.config import HistoGANConfig
 
     cfg = HistoGANConfig(image_size=256, network_capacity=16, batch_size=16,
-                         precision=precision)
+                         gradient_accumulate_every=1, precision=precision)
     dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
     b = cfg.batch_size
     key = jax.random.PRNGKey(0)
@@ -140,13 +142,29 @@ def main():
     }, mesh, batch_axis=1)
 
     def time_step(cfg_v, label, apply_gp, apply_pl, n=10):
-        state = replicate(HistoGANState(
-            step=jnp.zeros((), jnp.int32), params_g=params_g,
-            params_d=dp32, ema=jax.tree_util.tree_map(jnp.copy, params_g),
-            opt_g=g_tx.init(params_g), opt_d=d_tx.init(dp32),
-            pl_mean=jnp.zeros(()),
-        ), mesh)
+        def fresh_state():
+            # device_get first: the step donates its state buffers and
+            # replicate() may alias already-placed arrays across calls
+            return replicate(jax.device_get(HistoGANState(
+                step=jnp.zeros((), jnp.int32), params_g=params_g,
+                params_d=dp32, ema=jax.tree_util.tree_map(jnp.copy, params_g),
+                opt_g=g_tx.init(params_g), opt_d=d_tx.init(dp32),
+                pl_mean=jnp.zeros(()),
+            )), mesh)
+
+        state = fresh_state()
         step = make_train_step(models, g_tx, d_tx, cfg_v)
+        # XLA's own FLOP count of this exact program -> honest MFU
+        # (BASELINE.md: vs the chip's measured 145.8 TF/s sustained matmul)
+        try:
+            lowered = step.lower(fresh_state(), batch, ks[6],
+                                 apply_gp=apply_gp, apply_pl=apply_pl)
+            cost = lowered.compile().cost_analysis()
+            cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+            tflops = float(cost.get("flops", 0.0)) / 1e12
+        except Exception as e:  # noqa: BLE001
+            print(f"  (cost_analysis unavailable: {e})", flush=True)
+            tflops = 0.0
         state, m = step(state, batch, ks[6], apply_gp=apply_gp, apply_pl=apply_pl)
         float(m["d_loss"])
         t0 = time.perf_counter()
@@ -155,8 +173,10 @@ def main():
                             apply_gp=apply_gp, apply_pl=apply_pl)
         float(m["d_loss"])
         dt_s = (time.perf_counter() - t0) / n
+        eff = tflops / dt_s if tflops else 0.0
         print(f"{label:<40} {dt_s * 1e3:8.2f} ms  "
-              f"({b / dt_s:7.1f} imgs/s)", flush=True)
+              f"({b / dt_s:7.1f} imgs/s)  "
+              f"[{tflops * 1e3:7.1f} GFLOP -> {eff:6.1f} TF/s]", flush=True)
         return dt_s
 
     print("\n---- full-step ablation (256px cap16 batch16) ----", flush=True)
@@ -164,6 +184,15 @@ def main():
     time_step(cfg, "step: +gp", True, False)
     time_step(cfg, "step: +pl", False, True)
     time_step(cfg, "step: +gp +pl", True, True)
+
+    # attribution of the merged fake+real D forward (steps.MERGE_D_FORWARD)
+    from histogan_tpu.train import steps as steps_mod
+
+    steps_mod.MERGE_D_FORWARD = False
+    try:
+        time_step(cfg, "step: plain, UNMERGED d fwd", False, False)
+    finally:
+        steps_mod.MERGE_D_FORWARD = True
 
 
 if __name__ == "__main__":

@@ -60,12 +60,16 @@ def test_two_process_distributed_init(tmp_path):
     procs = []
     for pid in range(2):
         env = dict(os.environ)
+        repo_root = str(Path(__file__).resolve().parents[1])
         env.update({
             "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
             "JAX_NUM_PROCESSES": "2",
             "JAX_PROCESS_ID": str(pid),
             "JAX_PLATFORMS": "cpu",
             "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+            # the child script lives in tmp_path; python puts the script's
+            # dir (not cwd) on sys.path, so the package must be injected
+            "PYTHONPATH": repo_root + os.pathsep + env.get("PYTHONPATH", ""),
         })
         procs.append(subprocess.Popen(
             [sys.executable, str(script)], env=env, cwd=str(Path.cwd()),

@@ -109,3 +109,57 @@ def test_shard_batch_rejects_non_divisible():
     # scalars can't be batch-sharded either
     with pytest.raises(ValueError):
         shard_batch({"x": np.zeros(())}, mesh)
+
+
+def test_merged_d_forward_matches_unmerged():
+    """The non-GP D phase runs fake+real through ONE batch-2B forward
+    (steps.MERGE_D_FORWARD). Without VQ that must be numerically
+    identical to the two-call form — pinned by flipping the switch and
+    re-tracing the step on identical state/batch/key."""
+    from histogan_tpu.train import steps as steps_mod
+
+    batch = _batch(_setup(batch=8)[0])
+    key = jax.random.PRNGKey(3)
+    mesh = make_mesh(1)
+
+    results = {}
+    for merged in (True, False):
+        old = steps_mod.MERGE_D_FORWARD
+        steps_mod.MERGE_D_FORWARD = merged
+        try:
+            cfg, state, step = _setup(batch=8)  # fresh jit per variant
+            s = replicate(jax.device_get(state), mesh)
+            b = shard_batch(batch, mesh, batch_axis=1)
+            s2, m = step(s, b, key, apply_gp=False, apply_pl=False)
+            results[merged] = (
+                {k: float(v) for k, v in m.items()},
+                np.asarray(jax.device_get(
+                    jax.tree_util.tree_leaves(s2.params_d)[0])),
+            )
+        finally:
+            steps_mod.MERGE_D_FORWARD = old
+
+    m_t, leaf_t = results[True]
+    m_f, leaf_f = results[False]
+    for k in m_t:
+        np.testing.assert_allclose(m_t[k], m_f[k], rtol=1e-6, atol=1e-7,
+                                   err_msg=f"metric {k}")
+    np.testing.assert_allclose(leaf_t, leaf_f, rtol=1e-6, atol=1e-7)
+
+
+def test_merged_d_forward_sharded():
+    """The merged concat runs under the mesh: a non-GP sharded step must
+    reproduce the 1-device metrics (concat axis is the sharded batch)."""
+    cfg, state, step = _setup(batch=8)
+    batch = _batch(cfg)
+    key = jax.random.PRNGKey(11)
+
+    s1 = replicate(jax.device_get(state), make_mesh(1))
+    _, m1 = step(s1, shard_batch(batch, make_mesh(1), batch_axis=1), key,
+                 apply_gp=False, apply_pl=False)
+    s4 = replicate(jax.device_get(state), make_mesh(4))
+    _, m4 = step(s4, shard_batch(batch, make_mesh(4), batch_axis=1), key,
+                 apply_gp=False, apply_pl=False)
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m4[k]),
+                                   rtol=2e-5, atol=1e-6, err_msg=k)

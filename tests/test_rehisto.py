@@ -145,3 +145,87 @@ def test_rehisto_bf16_and_sync_every(tiny_dataset, tmp_path_factory):
     t.train(alpha=32, beta=1.5, gamma=4)  # step 2: no sync (2 % 3 != 0)
     t.train(alpha=32, beta=1.5, gamma=4)  # step 3: syncs
     assert all(np.isfinite(v) for v in (t.d_loss, t.g_loss, t.r_loss))
+
+
+def test_rehisto_merged_d_forward_matches_unmerged(tmp_path_factory):
+    """Non-GP D phase: merged batch-2B forward (steps.MERGE_D_FORWARD)
+    must match the reference-shaped two-call form exactly."""
+    import jax
+
+    from histogan_tpu.models import (
+        Discriminator, HistVectorizer, RecoloringEncoderDecoder,
+        RecoloringGAN,
+    )
+    from histogan_tpu.optim import diffgrad
+    from histogan_tpu.parallel import make_mesh, replicate, shard_batch
+    from histogan_tpu.train import steps as steps_mod
+    from histogan_tpu.train.rehisto_steps import (
+        RecolorModels, make_rehisto_train_step,
+    )
+    from histogan_tpu.train.state import ReHistoGANState
+    from histogan_tpu.utils.config import ReHistoGANConfig
+
+    import jax.numpy as jnp
+
+    cfg = ReHistoGANConfig(
+        image_size=32, network_capacity=4, latent_dim=32, style_depth=2,
+        hist_bin=16, batch_size=4, gradient_accumulate_every=1,
+        variance_loss=True,
+    )
+    ED = RecoloringEncoderDecoder(cfg.image_size, cfg.network_capacity,
+                                  cfg.hist_bin, cfg.latent_dim,
+                                  cfg.style_depth)
+    H = HistVectorizer(cfg.hist_bin, cfg.latent_dim, cfg.style_depth)
+    G = RecoloringGAN(cfg.image_size, cfg.latent_dim, cfg.network_capacity)
+    D = Discriminator(cfg.image_size, cfg.network_capacity)
+    models = RecolorModels(ED, H, G, D)
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    img = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+    hist = jnp.zeros((1, 3, cfg.hist_bin, cfg.hist_bin))
+    ed_vars = ED.init(ks[0], img, hist)
+    latent, rgb = ED.apply(ed_vars, img, hist)
+    params_g = {
+        "ED": ed_vars["params"],
+        "H": H.init(ks[1], hist)["params"],
+        "G": G.init(ks[2], latent, rgb, jnp.zeros((1, cfg.latent_dim)),
+                    jnp.zeros((1, cfg.image_size, cfg.image_size, 1)))["params"],
+    }
+    params_d = D.init(ks[3], img)["params"]
+    g_tx = diffgrad(cfg.learning_rate, 0.5, 0.9)
+    d_tx = diffgrad(cfg.learning_rate, 0.5, 0.9)
+
+    rng = np.random.default_rng(5)
+    b = cfg.batch_size
+    batch = {
+        "d_images": rng.random((1, b, cfg.image_size, cfg.image_size, 3), np.float32),
+        "d_hists": rng.random((1, b, 3, cfg.hist_bin, cfg.hist_bin), np.float32),
+        "g_images": rng.random((1, b, cfg.image_size, cfg.image_size, 3), np.float32),
+        "g_hists": rng.random((1, b, 3, cfg.hist_bin, cfg.hist_bin), np.float32),
+    }
+    mesh = make_mesh(1)
+    key = jax.random.PRNGKey(9)
+
+    results = {}
+    for merged in (True, False):
+        old = steps_mod.MERGE_D_FORWARD
+        steps_mod.MERGE_D_FORWARD = merged
+        try:
+            # device_get first: the step donates its state buffers, and
+            # replicate() may alias already-placed arrays — a donated
+            # alias poisons the second iteration's params
+            state = replicate(jax.device_get(ReHistoGANState(
+                step=jnp.zeros((), jnp.int32), params_g=params_g,
+                params_d=params_d, opt_g=g_tx.init(params_g),
+                opt_d=d_tx.init(params_d),
+            )), mesh)
+            step = make_rehisto_train_step(models, g_tx, d_tx, cfg)
+            _, m = step(state, shard_batch(batch, mesh, batch_axis=1), key,
+                        apply_gp=False, alpha=32.0, beta=1.5, gamma=4.0)
+            results[merged] = {k: float(v) for k, v in m.items()}
+        finally:
+            steps_mod.MERGE_D_FORWARD = old
+
+    for k in results[True]:
+        np.testing.assert_allclose(results[True][k], results[False][k],
+                                   rtol=1e-6, atol=1e-7, err_msg=k)
