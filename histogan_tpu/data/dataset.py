@@ -252,24 +252,37 @@ class TrainLoader:
     def __init__(self, dataset: ImageFolderDataset, pool: HistogramPool,
                  batch_size: int, accum: int, seed: int = 0,
                  self_hist: bool = False, prefetch: int = 2,
-                 include_g_images: bool = False):
+                 include_g_images: bool = False, feed_uint8: bool = True):
+        # feed_uint8: ship images as uint8 and dequantize (/255) on
+        # device — 4x less host->device traffic, lossless because every
+        # decode path is PIL-uint8-derived (steps.dequantize_batch
+        # reproduces the float path bit-for-bit)
         self.dataset = dataset
         self.pool = pool
         self.batch_size = batch_size
         self.accum = accum
         self.self_hist = self_hist
         self.include_g_images = include_g_images
+        self.feed_uint8 = feed_uint8
         self._rng = np.random.default_rng(seed)
         self._q: queue_mod.Queue = queue_mod.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
+    def _quant(self, imgs: np.ndarray) -> np.ndarray:
+        if not self.feed_uint8:
+            return imgs
+        # exact inverse of the decode's /255 (values are k/255 for uint8 k)
+        return np.rint(imgs * 255.0).astype(np.uint8)
+
     def _make_batch(self) -> Dict[str, np.ndarray]:
         a, b = self.accum, self.batch_size
         rng = self._rng
         idx = rng.integers(0, len(self.dataset), size=a * b)
-        imgs = np.stack([self.dataset.get_image(int(i), rng) for i in idx])
+        imgs = self._quant(
+            np.stack([self.dataset.get_image(int(i), rng) for i in idx])
+        )
         d_images = imgs.reshape(a, b, *imgs.shape[1:])
         if self.self_hist:
             d_hists = self.pool.self_hist(idx).reshape(a, b, *self.pool.pool.shape[1:])
@@ -280,7 +293,9 @@ class TrainLoader:
         batch = {"d_images": d_images, "d_hists": d_hists}
         if self.include_g_images:
             g_idx = rng.integers(0, len(self.dataset), size=a * b)
-            g_imgs = np.stack([self.dataset.get_image(int(i), rng) for i in g_idx])
+            g_imgs = self._quant(
+                np.stack([self.dataset.get_image(int(i), rng) for i in g_idx])
+            )
             batch["g_images"] = g_imgs.reshape(a, b, *g_imgs.shape[1:])
             if self.self_hist:
                 batch["g_hists"] = self.pool.self_hist(g_idx).reshape(

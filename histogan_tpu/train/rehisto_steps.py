@@ -170,6 +170,9 @@ def make_rehisto_train_step(models: RecolorModels, g_tx, d_tx, cfg):
 
     def train_step(state: ReHistoGANState, batch: Dict[str, jnp.ndarray], key,
                    apply_gp: bool, alpha: float, beta: float, gamma: float):
+        from histogan_tpu.train.steps import dequantize_batch
+
+        batch = dequantize_batch(batch)
         k_d, k_g = jax.random.split(key)
 
         # ------------- D phase

@@ -51,7 +51,8 @@ class RecoloringTrainer:
                  internal_hist=False, change_hyperparameters=False,
                  change_hyperparameters_after=100000, latent_dim=512,
                  style_depth=8, num_devices=None, seed=42,
-                 precision="fp32", sync_every=1, **_unused):
+                 precision="fp32", sync_every=1, device_dataset="auto",
+                 **_unused):
         # sync_every: fetch step metrics every N steps (same async-
         # metrics amortization as Trainer — the ~31 ms/step host sync
         # dominated the r1 e2e numbers; NaN rollback then triggers up to
@@ -90,6 +91,8 @@ class RecoloringTrainer:
         self.loader = None
         self.pool: Optional[HistogramPool] = None
         self._eval_cache: Dict[Any, Any] = {}
+        self._staged_batch = None  # double-buffered H2D (see train())
+        self.device_dataset = device_dataset  # see Trainer.device_dataset
 
         from histogan_tpu.utils.logging import MetricsLogger
 
@@ -180,11 +183,24 @@ class RecoloringTrainer:
             cfg.hist_resizing, cfg.hist_sigma, cfg.transparent,
             cache_dir=str(self.store.dir),
         )
-        self.loader = TrainLoader(
-            self.dataset, self.pool, cfg.batch_size,
-            cfg.gradient_accumulate_every, seed=11,
-            self_hist=not sampling, include_g_images=True,
+        from histogan_tpu.data.device_source import (
+            DeviceDataSource, should_use_device_dataset,
         )
+
+        if should_use_device_dataset(self.device_dataset, self.dataset,
+                                     self.pool):
+            self.loader = DeviceDataSource(
+                np.asarray(self.dataset._cache), self.pool.pool, self.mesh,
+                cfg.batch_size, cfg.gradient_accumulate_every, seed=11,
+                self_hist=not sampling, include_g_images=True,
+            )
+        else:
+            self.loader = TrainLoader(
+                self.dataset, self.pool, cfg.batch_size,
+                cfg.gradient_accumulate_every, seed=11,
+                self_hist=not sampling, include_g_images=True,
+            )
+        self._staged_batch = None  # new source -> drop any staged batch
         self._eval_rng = np.random.default_rng(99)
 
     # ------------------------------------------------------------ train
@@ -200,12 +216,29 @@ class RecoloringTrainer:
             alpha, gamma, beta = 8.0, 2.0, 1.0  # rehistoGAN.py:900-905
 
         apply_gp = self.steps % 4 == 0
-        batch = next(self.loader)
-        batch = shard_batch(batch, self.mesh, batch_axis=1)
-        self.state, metrics = self._train_step(
-            self.state, batch, self._next_key(), apply_gp=apply_gp,
-            alpha=float(alpha), beta=float(beta), gamma=float(gamma),
-        )
+        from histogan_tpu.data.device_source import DeviceDataSource
+
+        if isinstance(self.loader, DeviceDataSource):
+            # batches are device gathers, already mesh-sharded
+            batch = next(self.loader)
+            self.state, metrics = self._train_step(
+                self.state, batch, self._next_key(), apply_gp=apply_gp,
+                alpha=float(alpha), beta=float(beta), gamma=float(gamma),
+            )
+        else:
+            # double-buffered H2D (same as Trainer.train): consume the
+            # staged batch, enqueue the next transfer behind the async
+            # step dispatch
+            if self._staged_batch is None:
+                self._staged_batch = shard_batch(
+                    next(self.loader), self.mesh, batch_axis=1)
+            batch = self._staged_batch
+            self.state, metrics = self._train_step(
+                self.state, batch, self._next_key(), apply_gp=apply_gp,
+                alpha=float(alpha), beta=float(beta), gamma=float(gamma),
+            )
+            self._staged_batch = shard_batch(
+                next(self.loader), self.mesh, batch_axis=1)
 
         checkpoint_num = self.steps // self.cfg.save_every
         must_sync = (

@@ -78,6 +78,20 @@ def compute_dtype(cfg):
     return jnp.bfloat16 if getattr(cfg, "precision", "fp32") == "bf16" else jnp.float32
 
 
+def dequantize_batch(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """uint8-fed image arrays -> fp32/255 on device.
+
+    The loader ships images as uint8 (4x less host->device wire traffic;
+    every decode path is PIL-uint8-derived so the quantization is
+    lossless) and this reproduces the host float path bit-for-bit: both
+    compute float32(u8)/255 (tests/test_train.py pins step equality).
+    Histograms always travel fp32 and pass through untouched."""
+    return {
+        k: (v.astype(jnp.float32) / 255.0 if v.dtype == jnp.uint8 else v)
+        for k, v in batch.items()
+    }
+
+
 def cast_tree(tree, dtype):
     """Cast float32 leaves to the compute dtype (params stay fp32 masters;
     the cast's VJP returns fp32 gradients — standard mixed precision)."""
@@ -240,6 +254,7 @@ def make_train_step(models: Models, g_tx, d_tx, cfg):
 
     def train_step(state: HistoGANState, batch: Dict[str, jnp.ndarray], key,
                    apply_gp: bool, apply_pl: bool, apply_ema: bool = False):
+        batch = dequantize_batch(batch)
         k_d, k_g = jax.random.split(key)
 
         # ---------------- D phase: scan over accumulation axis

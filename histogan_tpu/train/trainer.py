@@ -43,7 +43,8 @@ class Trainer:
                  aug_prob=0.0, dataset_aug_prob=0.0, aug_types=None,
                  latent_dim=512, style_depth=8, num_devices=None, seed=42,
                  precision="fp32", sync_every=1, calculate_fid_every=None,
-                 fid_num_samples=256, fid_extractor=None, **_unused):
+                 fid_num_samples=256, fid_extractor=None,
+                 device_dataset="auto", **_unused):
         # sync_every: fetch step metrics every N steps instead of every
         # step (1 = reference-parity). >1 removes the per-step
         # host<->device sync (NaN rollback then triggers up to N-1 steps
@@ -84,6 +85,12 @@ class Trainer:
         self.state: Optional[HistoGANState] = None
         self.loader: Optional[TrainLoader] = None
         self.pool: Optional[HistogramPool] = None
+        self._staged_batch = None  # double-buffered H2D (see train())
+        # device_dataset: park the decoded uint8 cache + hist pool in HBM
+        # and gather batches on device (~100 B/step host traffic) instead
+        # of streaming images. "auto" = on when no per-item augmentation
+        # needs host decode and the cache fits the HBM budget.
+        self.device_dataset = device_dataset
         self._gen_cache: Dict[Any, Any] = {}
 
         # FID quality tracking (the reference's manual-FID guidance,
@@ -176,10 +183,24 @@ class Trainer:
             cfg.hist_resizing, cfg.hist_sigma, cfg.transparent,
             cache_dir=str(self.store.dir),
         )
-        self.loader = TrainLoader(
-            self.dataset, self.pool, cfg.batch_size,
-            cfg.gradient_accumulate_every, seed=int(jax.process_index()) + 7,
+        from histogan_tpu.data.device_source import (
+            DeviceDataSource, should_use_device_dataset,
         )
+
+        if should_use_device_dataset(self.device_dataset, self.dataset,
+                                     self.pool, cfg.dataset_aug_prob):
+            self.loader = DeviceDataSource(
+                np.asarray(self.dataset._cache), self.pool.pool, self.mesh,
+                cfg.batch_size, cfg.gradient_accumulate_every,
+                seed=int(jax.process_index()) + 7,
+            )
+        else:
+            self.loader = TrainLoader(
+                self.dataset, self.pool, cfg.batch_size,
+                cfg.gradient_accumulate_every,
+                seed=int(jax.process_index()) + 7,
+            )
+        self._staged_batch = None  # new source -> drop any staged batch
         self._eval_rng = np.random.default_rng(1234)
 
     # ------------------------------------------------------------ train
@@ -203,12 +224,29 @@ class Trainer:
         apply_ema = self.steps > 20000 and self.steps % 10 == 0
         apply_reset = self.steps <= 25000 and self.steps % 1000 == 2
 
-        batch = next(self.loader)
-        batch = shard_batch(batch, self.mesh, batch_axis=1)
-        self.state, metrics = self._train_step(
-            self.state, batch, self._next_key(), apply_gp=apply_gp,
-            apply_pl=apply_pl, apply_ema=apply_ema
-        )
+        from histogan_tpu.data.device_source import DeviceDataSource
+
+        if isinstance(self.loader, DeviceDataSource):
+            # batches are device gathers, already mesh-sharded
+            batch = next(self.loader)
+            self.state, metrics = self._train_step(
+                self.state, batch, self._next_key(), apply_gp=apply_gp,
+                apply_pl=apply_pl, apply_ema=apply_ema
+            )
+        else:
+            # double-buffered H2D: the batch staged on the PREVIOUS step
+            # is consumed here, and the next one is enqueued right after
+            # the (async) step dispatch so its transfer overlaps compute
+            if self._staged_batch is None:
+                self._staged_batch = shard_batch(
+                    next(self.loader), self.mesh, batch_axis=1)
+            batch = self._staged_batch
+            self.state, metrics = self._train_step(
+                self.state, batch, self._next_key(), apply_gp=apply_gp,
+                apply_pl=apply_pl, apply_ema=apply_ema
+            )
+            self._staged_batch = shard_batch(
+                next(self.loader), self.mesh, batch_axis=1)
         if apply_reset:  # reset_parameter_averaging, applied eagerly
             self.state = self.state.replace(
                 ema=jax.tree_util.tree_map(jnp.copy, self.state.params_g)

@@ -62,7 +62,8 @@ def test_loader_batch_contract(mixed_dataset):
     assert batch["d_images"].shape == (3, 2, 32, 32, 3)
     assert batch["d_hists"].shape == (3, 2, 3, 16, 16)
     assert batch["g_hists"].shape == (3, 2, 3, 16, 16)
-    assert batch["d_images"].min() >= 0 and batch["d_images"].max() <= 1
+    # default feed is uint8 (dequantized to [0,1] on device)
+    assert batch["d_images"].dtype == np.uint8
 
 
 def test_pool_disk_cache(mixed_dataset, tmp_path):
@@ -139,3 +140,94 @@ def test_image_cache_lossless_and_served(tmp_path):
     out = aug.get_image(0, np.random.default_rng(3))
     assert out.shape == (32, 32, 3)
     assert not np.array_equal(out, cached.get_image(0, rng))
+
+
+def test_loader_uint8_feed_is_lossless(tmp_path):
+    """feed_uint8=True ships uint8 image batches whose /255 equals the
+    float batches of an identically-seeded float loader bit-for-bit
+    (every decode path is PIL-uint8-derived)."""
+    import numpy as np
+
+    from PIL import Image
+
+    from histogan_tpu.data.dataset import (
+        HistogramPool, ImageFolderDataset, TrainLoader,
+    )
+
+    root = tmp_path / "imgs"
+    root.mkdir()
+    rng0 = np.random.RandomState(3)
+    for i in range(4):
+        Image.fromarray((rng0.rand(40, 44, 3) * 255).astype(np.uint8)).save(
+            root / f"{i}.jpg")
+    ds = ImageFolderDataset(str(root), 32, aug_prob=0.5)
+    pool = HistogramPool(ds.paths, hist_bin=16)
+
+    lu = TrainLoader(ds, pool, batch_size=2, accum=2, seed=3,
+                     feed_uint8=True)
+    lf = TrainLoader(ds, pool, batch_size=2, accum=2, seed=3,
+                     feed_uint8=False)
+    try:
+        bu, bf = next(lu), next(lf)
+        assert bu["d_images"].dtype == np.uint8
+        assert bf["d_images"].dtype == np.float32
+        np.testing.assert_array_equal(
+            bu["d_images"].astype(np.float32) / 255.0, bf["d_images"])
+        np.testing.assert_array_equal(bu["d_hists"], bf["d_hists"])
+    finally:
+        lu.close()
+        lf.close()
+
+
+def test_device_dataset_source(tmp_path):
+    """Device-resident dataset mode: batches are device gathers with the
+    TrainLoader contract — images are exact uint8 cache rows, interp
+    hists are a convex combination of pool rows, batch axis is sharded
+    over the mesh."""
+    import jax
+    from PIL import Image
+
+    from histogan_tpu.data.dataset import HistogramPool, ImageFolderDataset
+    from histogan_tpu.data.device_source import (
+        DeviceDataSource, should_use_device_dataset,
+    )
+    from histogan_tpu.parallel import make_mesh
+
+    root = tmp_path / "imgs"
+    root.mkdir()
+    rng0 = np.random.RandomState(11)
+    for i in range(6):
+        Image.fromarray((rng0.rand(40, 40, 3) * 255).astype(np.uint8)).save(
+            root / f"{i}.jpg")
+
+    ds = ImageFolderDataset(str(root), 32, cache_dir=str(tmp_path / "c"))
+    pool = HistogramPool(ds.paths, hist_bin=16,
+                         cache_dir=str(tmp_path / "c"))
+    assert should_use_device_dataset("auto", ds, pool, 0.0)
+    assert not should_use_device_dataset("auto", ds, pool, 0.5)  # aug
+    assert not should_use_device_dataset(False, ds, pool, 0.0)
+
+    mesh = make_mesh(2)
+    src = DeviceDataSource(np.asarray(ds._cache), pool.pool, mesh,
+                           batch_size=4, accum=2, seed=5)
+    import jax.numpy as jnp
+
+    b = next(src)
+    assert b["d_images"].shape == (2, 4, 32, 32, 3)
+    assert b["d_images"].dtype == jnp.uint8
+    assert b["d_hists"].shape == (2, 4, 3, 16, 16)
+    # sharded over the data axis
+    assert "data" in str(b["d_images"].sharding.spec)
+
+    # the gathers reproduce host-side indexing exactly: replay the rng
+    rng = np.random.default_rng(5)
+    idx = rng.integers(0, len(ds.paths), size=8)
+    np.testing.assert_array_equal(
+        np.asarray(b["d_images"]).reshape(8, 32, 32, 3),
+        np.asarray(ds._cache)[idx])
+    pair = rng.integers(0, len(ds.paths), size=(2, 8))
+    r = rng.random((8,), dtype=np.float32)
+    want = (r[:, None, None, None] * pool.pool[pair[0]]
+            + (1 - r[:, None, None, None]) * pool.pool[pair[1]])
+    np.testing.assert_allclose(
+        np.asarray(b["d_hists"]).reshape(8, 3, 16, 16), want, atol=1e-6)

@@ -163,3 +163,29 @@ def test_merged_d_forward_sharded():
     for k in m1:
         np.testing.assert_allclose(float(m1[k]), float(m4[k]),
                                    rtol=2e-5, atol=1e-6, err_msg=k)
+
+
+def test_uint8_feed_matches_float_feed():
+    """The loader ships images as uint8 (4x less H2D traffic) and the
+    step dequantizes on device; both paths compute float32(u8)/255, so a
+    uint8-fed step must match a float-fed step exactly (fp32 CPU)."""
+    cfg, state, step = _setup(batch=8)
+    rng = np.random.default_rng(13)
+    a, b = 1, 8
+    u8 = rng.integers(0, 256, size=(a, b, 32, 32, 3), dtype=np.uint8)
+    hists = {
+        "d_hists": rng.random((a, b, 3, 16, 16), np.float32),
+        "g_hists": rng.random((a, b, 3, 16, 16), np.float32),
+    }
+    key = jax.random.PRNGKey(21)
+    mesh = make_mesh(1)
+
+    outs = {}
+    for tag, imgs in (("u8", u8), ("f32", u8.astype(np.float32) / 255.0)):
+        s = replicate(jax.device_get(state), mesh)
+        bt = shard_batch({"d_images": imgs, **hists}, mesh, batch_axis=1)
+        _, m = step(s, bt, key, apply_gp=True, apply_pl=False)
+        outs[tag] = {k: float(v) for k, v in m.items()}
+    for k in outs["u8"]:
+        np.testing.assert_allclose(outs["u8"][k], outs["f32"][k],
+                                   rtol=0, atol=0, err_msg=k)
