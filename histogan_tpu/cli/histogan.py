@@ -61,7 +61,8 @@ def train_from_folder(
     attn_layers=(), hist_method="inverse-quadratic", hist_resizing="sampling",
     hist_sigma=0.02, hist_bin=64, hist_insz=150, alpha=2, target_hist=None,
     aug_prob=0.0, dataset_aug_prob=0.0, aug_types=None, seed=42,
-    num_devices=None, load_pt=None,
+    num_devices=None, load_pt=None, precision="fp32", sync_every=1,
+    device_dataset="auto", calculate_fid_every=None,
 ):
     from histogan_tpu.ops.histogram import RGBuvHistBlock
     from histogan_tpu.train import NanException, Trainer
@@ -76,7 +77,9 @@ def train_from_folder(
         hist_sigma=hist_sigma, hist_resizing=hist_resizing,
         hist_method=hist_method, aug_prob=aug_prob,
         dataset_aug_prob=dataset_aug_prob, aug_types=aug_types, seed=seed,
-        num_devices=num_devices,
+        num_devices=num_devices, precision=precision, sync_every=sync_every,
+        device_dataset=device_dataset,
+        calculate_fid_every=calculate_fid_every,
     )
 
     if not new:
@@ -184,7 +187,22 @@ def get_args(argv=None):
     add("--target_latent_file", dest="target_l", default=None)
     add("--num_image_tiles", type=int, default=16)
     add("--trunc_psi", type=float, default=0.75)
-    add("--fp16", type=str2bool, default=False)  # reference flag '--fp 16' (typo'd there)
+    add("--fp16", type=str2bool, default=False,
+        help="Mixed precision; on TPU this selects the bf16 compute "
+             "policy (reference flag '--fp 16', typo'd there).")
+    add("--precision", choices=("fp32", "bf16"), default=None,
+        help="Compute precision; overrides --fp16. bf16 is ~1.6x faster "
+             "at the flagship config (BASELINE.md).")
+    add("--sync_every", type=int, default=1,
+        help="Fetch step metrics every N steps (1 = reference parity; "
+             "larger amortizes the per-step host sync).")
+    add("--device_dataset", default="auto",
+        choices=("auto", "true", "false"),
+        help="Park the decoded dataset + hist pool in HBM and gather "
+             "batches on device (auto: when eligible; see DESIGN.md).")
+    add("--calculate_fid_every", type=int, default=None,
+        help="Score FID on EMA samples every N steps "
+             "(results/<name>/fid_scores.txt).")
     add("--fq_layers", nargs="*", type=int, default=[])
     add("--fq_dict_size", type=int, default=256)
     add("--attn_layers", nargs="*", type=int, default=[])
@@ -227,6 +245,11 @@ def main(argv=None):
         target_hist=args.target_hist, alpha=args.alpha, aug_prob=args.aug_prob,
         dataset_aug_prob=args.dataset_aug_prob, aug_types=args.aug_types,
         seed=args.seed, num_devices=args.num_devices, load_pt=args.load_pt,
+        precision=args.precision or ("bf16" if args.fp16 else "fp32"),
+        sync_every=args.sync_every,
+        device_dataset={"true": True, "false": False}.get(
+            args.device_dataset, "auto"),
+        calculate_fid_every=args.calculate_fid_every,
     )
 
 

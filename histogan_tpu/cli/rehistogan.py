@@ -133,7 +133,7 @@ def train_from_folder(
     upsampling_method="pyramid", swapping_levels=1, pyramid_levels=6,
     level_blending=False, post_recoloring=False,
     histogram_pool="histogram_data/histograms.npy", seed=42, load_pt=None,
-    num_devices=None,
+    num_devices=None, precision="fp32", sync_every=1, device_dataset="auto",
 ):
     from histogan_tpu.train import NanException, Trainer
     from histogan_tpu.train.rehisto_trainer import RecoloringTrainer
@@ -152,7 +152,8 @@ def train_from_folder(
         internal_hist=internal_hist,
         change_hyperparameters=change_hyperparameters,
         change_hyperparameters_after=change_hyperparameters_after, seed=seed,
-        num_devices=num_devices,
+        num_devices=num_devices, precision=precision, sync_every=sync_every,
+        device_dataset=device_dataset,
     )
 
     def transplant():
@@ -268,7 +269,15 @@ def get_args(argv=None):
     add("--num_workers", default=None)
     add("--save_every", type=int, default=10000)
     add("--trunc_psi", type=float, default=0.75)
-    add("--fp16", type=str2bool, default=False)
+    add("--fp16", type=str2bool, default=False,
+        help="Mixed precision; on TPU this selects the bf16 compute policy.")
+    add("--precision", choices=("fp32", "bf16"), default=None,
+        help="Compute precision; overrides --fp16.")
+    add("--sync_every", type=int, default=1,
+        help="Fetch step metrics every N steps (1 = reference parity).")
+    add("--device_dataset", default="auto",
+        choices=("auto", "true", "false"),
+        help="Park the decoded dataset + hist pool in HBM (see DESIGN.md).")
     add("--fq_layers", nargs="*", type=int, default=[])
     add("--fq_dict_size", type=int, default=256)
     add("--attn_layers", nargs="*", type=int, default=[])
@@ -366,6 +375,10 @@ def main(argv=None):
         post_recoloring=args.post_recoloring,
         histogram_pool=args.histogram_pool, seed=args.seed,
         load_pt=args.load_pt, num_devices=args.num_devices,
+        precision=args.precision or ("bf16" if args.fp16 else "fp32"),
+        sync_every=args.sync_every,
+        device_dataset={"true": True, "false": False}.get(
+            args.device_dataset, "auto"),
     )
 
 

@@ -149,3 +149,31 @@ def test_projection_cli_project_and_recolor(tool, trained_model_dir, data_dir,
         Path(f"res_{tool}/p").rglob("*recolor*"))
     assert recolored or list(out_dir.glob("*.jpg")), (
         "recolor mode must write an output image")
+
+
+@pytest.mark.parametrize("tool", ["histogan", "rehistogan"])
+def test_cli_perf_flags_plumbed(tool, monkeypatch):
+    """--precision/--fp16/--sync_every/--device_dataset must reach the
+    Trainer (r2: --fp16 was accepted but never plumbed, so the bf16
+    headline path was unreachable from the CLI)."""
+    import importlib
+
+    cli = importlib.import_module(f"histogan_tpu.cli.{tool}")
+    seen = {}
+    monkeypatch.setattr(cli, "train_from_folder",
+                        lambda **kw: seen.update(kw))
+
+    cli.main(["--precision", "bf16", "--sync_every", "7",
+              "--device_dataset", "false"])
+    assert seen["precision"] == "bf16"
+    assert seen["sync_every"] == 7
+    assert seen["device_dataset"] is False
+
+    seen.clear()
+    cli.main(["--fp16", "True", "--device_dataset", "auto"])
+    assert seen["precision"] == "bf16"  # --fp16 maps to the bf16 policy
+    assert seen["device_dataset"] == "auto"
+
+    seen.clear()
+    cli.main([])
+    assert seen["precision"] == "fp32"  # reference-parity default
