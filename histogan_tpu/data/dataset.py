@@ -62,9 +62,15 @@ class ImageFolderDataset:
     draws (prob ``aug_prob``) still decode — the random crop needs the
     pre-crop pixels."""
 
+    # skip building the decoded cache past this size (a 70k-image 1024px
+    # folder would otherwise write ~220 GB before training starts);
+    # overridable per-instance via cache_budget_bytes
+    CACHE_BUDGET_BYTES = 8 << 30
+
     def __init__(self, folder: str, image_size: int = 256,
                  transparent: bool = False, aug_prob: float = 0.0,
-                 cache_dir: Optional[str] = None):
+                 cache_dir: Optional[str] = None,
+                 cache_budget_bytes: Optional[int] = None):
         self.paths = list_images(folder)
         if not self.paths:
             raise FileNotFoundError(f"no {EXTS} images under {folder}")
@@ -73,7 +79,16 @@ class ImageFolderDataset:
         self.aug_prob = aug_prob
         self._cache: Optional[np.ndarray] = None
         if cache_dir is not None:
-            self._cache = self._build_or_load_cache(cache_dir)
+            budget = (self.CACHE_BUDGET_BYTES if cache_budget_bytes is None
+                      else cache_budget_bytes)
+            c = 4 if transparent else 3
+            est = len(self.paths) * image_size * image_size * c
+            if est <= budget:
+                self._cache = self._build_or_load_cache(cache_dir)
+            else:
+                print(f"decoded-image cache skipped: {est >> 20} MiB "
+                      f"exceeds the {budget >> 20} MiB budget "
+                      f"(streaming decode instead)")
 
     def __len__(self) -> int:
         return len(self.paths)
@@ -90,10 +105,15 @@ class ImageFolderDataset:
         return Path(cache_dir) / f"img_cache_{key}.npy"
 
     def _build_or_load_cache(self, cache_dir: str) -> np.ndarray:
+        import os
+
         path = self._cache_file(cache_dir)
         if not path.exists():
             path.parent.mkdir(parents=True, exist_ok=True)
-            tmp = path.with_suffix(".tmp.npy")
+            # pid-unique tmp: two processes sharing a models dir must not
+            # truncate each other's half-written cache (atomic replace
+            # still publishes exactly one complete file)
+            tmp = path.with_suffix(f".tmp{os.getpid()}.npy")
             c = 4 if self.transparent else 3
             size = self.image_size
             arr = np.lib.format.open_memmap(
@@ -115,6 +135,17 @@ class ImageFolderDataset:
         if self._cache is not None and not use_aug:
             return np.asarray(self._cache[index], np.float32) / 255.0
         return self._decode(index, use_aug, rng)
+
+    def get_image_u8(self, index: int, rng: np.random.Generator) -> np.ndarray:
+        """uint8 variant for the wire-format feed: cache hits return the
+        raw cache row (no float round-trip); identical rng draw sequence
+        and pixel values to get_image (lossless — all decode paths are
+        PIL-uint8-derived)."""
+        use_aug = (rng.random() < self.aug_prob) if rng is not None else False
+        if self._cache is not None and not use_aug:
+            return np.asarray(self._cache[index])
+        return np.rint(
+            self._decode(index, use_aug, rng) * 255.0).astype(np.uint8)
 
     def _decode(self, index: int, use_aug: bool,
                 rng: Optional[np.random.Generator]) -> np.ndarray:
@@ -220,8 +251,10 @@ class HistogramPool:
                 self.pool[chunk] = np.asarray(hists)
 
         if cache_file is not None:
+            import os
+
             cache_file.parent.mkdir(parents=True, exist_ok=True)
-            tmp = cache_file.with_suffix(".tmp.npy")
+            tmp = cache_file.with_suffix(f".tmp{os.getpid()}.npy")
             np.save(tmp, self.pool)
             tmp.replace(cache_file)  # atomic
 
@@ -270,19 +303,16 @@ class TrainLoader:
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
-    def _quant(self, imgs: np.ndarray) -> np.ndarray:
-        if not self.feed_uint8:
-            return imgs
-        # exact inverse of the decode's /255 (values are k/255 for uint8 k)
-        return np.rint(imgs * 255.0).astype(np.uint8)
+    def _get(self, index: int, rng) -> np.ndarray:
+        if self.feed_uint8:
+            return self.dataset.get_image_u8(index, rng)
+        return self.dataset.get_image(index, rng)
 
     def _make_batch(self) -> Dict[str, np.ndarray]:
         a, b = self.accum, self.batch_size
         rng = self._rng
         idx = rng.integers(0, len(self.dataset), size=a * b)
-        imgs = self._quant(
-            np.stack([self.dataset.get_image(int(i), rng) for i in idx])
-        )
+        imgs = np.stack([self._get(int(i), rng) for i in idx])
         d_images = imgs.reshape(a, b, *imgs.shape[1:])
         if self.self_hist:
             d_hists = self.pool.self_hist(idx).reshape(a, b, *self.pool.pool.shape[1:])
@@ -293,9 +323,7 @@ class TrainLoader:
         batch = {"d_images": d_images, "d_hists": d_hists}
         if self.include_g_images:
             g_idx = rng.integers(0, len(self.dataset), size=a * b)
-            g_imgs = self._quant(
-                np.stack([self.dataset.get_image(int(i), rng) for i in g_idx])
-            )
+            g_imgs = np.stack([self._get(int(i), rng) for i in g_idx])
             batch["g_images"] = g_imgs.reshape(a, b, *g_imgs.shape[1:])
             if self.self_hist:
                 batch["g_hists"] = self.pool.self_hist(g_idx).reshape(

@@ -87,11 +87,17 @@ def random_inception_extractor(seed: int = 0) -> Callable:
 
 def default_extractor() -> Callable:
     """Pretrained extractor if INCEPTION_WEIGHTS is set, else the seeded
-    random-weight fallback."""
+    random-weight fallback. A set-but-missing weights path raises — a
+    silent fallback would fill fid_scores.txt with random-feature
+    numbers indistinguishable from pretrained ones."""
     import os
 
     path = os.environ.get("INCEPTION_WEIGHTS")
-    if path and os.path.exists(path):
+    if path:
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"INCEPTION_WEIGHTS points at a missing file: {path}"
+            )
         return inception_extractor(path)
     return random_inception_extractor()
 

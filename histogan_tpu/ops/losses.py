@@ -60,6 +60,23 @@ def gradient_penalty(d_apply: Callable[[jnp.ndarray], jnp.ndarray],
     return weight * jnp.mean(jnp.square(norms - 1.0))
 
 
+def shared_forward_gradient_penalty(forward: Callable, images: jnp.ndarray,
+                                    weight: float = 10.0):
+    """Gradient penalty that shares ONE real-image forward with the
+    caller's hinge logits via ``jax.vjp`` (both train steps use this;
+    the separate-forward form is :func:`gradient_penalty`).
+
+    ``forward``: images -> (logits_f32, aux). Returns
+    (logits, aux, gp) with the same weight/norm semantics as
+    :func:`gradient_penalty` (histoGAN/histoGAN.py:156-163).
+    """
+    logits, vjp_fn, aux = jax.vjp(forward, images, has_aux=True)
+    (img_grads,) = vjp_fn(jnp.ones_like(logits))
+    flat = img_grads.reshape(images.shape[0], -1)
+    gp = weight * jnp.mean(jnp.square(jnp.linalg.norm(flat, axis=1) - 1.0))
+    return logits, aux, gp
+
+
 def path_length_lengths(pl_images: jnp.ndarray, generated_images: jnp.ndarray) -> jnp.ndarray:
     """Per-sample squared pixel-space change, mean over C,H,W
     (histoGAN/histoGAN.py:969). Works for NHWC or NCHW — reduces all

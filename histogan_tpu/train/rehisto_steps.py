@@ -78,7 +78,23 @@ def make_rehisto_train_step(models: RecolorModels, g_tx, d_tx, cfg):
     gauss_kernel = filters.gaussian_kernel(15, 5.0)
     rec_variant = _rec_variant(cfg.rec_loss)
 
-    def d_loss_fn(params_d, fake_images, real_images, apply_gp):
+    def _apply_rd(pd, vq_stats, images, train_stats):
+        """D with the vq_stats collection bound when VQ blocks exist
+        (fq_layers — the recoloring Discriminator supports them like the
+        histoGAN one, histoGAN/histoGAN.py:594-601); returns
+        (logits, qloss, new_vq_stats)."""
+        variables = {"params": pd}
+        if vq_stats:
+            variables["vq_stats"] = vq_stats
+        if vq_stats and train_stats:
+            (logits, qloss), updated = models.D.apply(
+                variables, images, train=True, mutable=["vq_stats"]
+            )
+            return logits, qloss, updated["vq_stats"]
+        logits, qloss = models.D.apply(variables, images)
+        return logits, qloss, vq_stats
+
+    def d_loss_fn(params_d, vq_stats, fake_images, real_images, apply_gp):
         from histogan_tpu.train.steps import cast_tree, compute_dtype
 
         dt = compute_dtype(cfg)
@@ -86,10 +102,11 @@ def make_rehisto_train_step(models: RecolorModels, g_tx, d_tx, cfg):
 
         from histogan_tpu.train import steps as _steps
 
-        if _steps.MERGE_D_FORWARD and not apply_gp:
+        if _steps.MERGE_D_FORWARD and not apply_gp and not vq_stats:
             # merged fake+real forward: one batch-2B conv stack instead of
-            # two half-filled ones (D is per-sample; identical numerics —
-            # same optimization as the histoGAN step, tests/test_rehisto.py)
+            # two half-filled ones (D is per-sample without VQ stats;
+            # identical numerics — same optimization as the histoGAN
+            # step, tests/test_rehisto.py)
             b = fake_images.shape[0]
             logits, _ = models.D.apply(
                 {"params": pd},
@@ -100,33 +117,36 @@ def make_rehisto_train_step(models: RecolorModels, g_tx, d_tx, cfg):
             divergence = losses.hinge_divergence(
                 logits[b:].astype(jnp.float32), logits[:b].astype(jnp.float32)
             )
-            return divergence, (divergence, jnp.zeros(()))
+            return divergence, (divergence, jnp.zeros(()), jnp.zeros(()),
+                                vq_stats)
 
-        fake_logits, _ = models.D.apply({"params": pd}, fake_images.astype(dt))
+        fake_logits, fake_q, vq_stats = _apply_rd(
+            pd, vq_stats, fake_images.astype(dt), True)
 
         if apply_gp:
             # share ONE real forward between the hinge logits and the
             # penalty's input gradient via vjp (histoGAN steps.py does the
             # same; replaces the r1 third forward inside gradient_penalty)
             def real_fwd(imgs):
-                return models.D.apply(
-                    {"params": pd}, imgs.astype(dt))[0].astype(jnp.float32)
+                logits, rq, vq2 = _apply_rd(pd, vq_stats, imgs.astype(dt),
+                                            True)
+                return logits.astype(jnp.float32), (rq, vq2)
 
-            real_logits, vjp_fn = jax.vjp(real_fwd, real_images)
-            (img_grads,) = vjp_fn(jnp.ones_like(real_logits))
-            flat = img_grads.reshape(real_images.shape[0], -1)
-            gp = 10.0 * jnp.mean(
-                jnp.square(jnp.linalg.norm(flat, axis=1) - 1.0))
-        else:  # unmerged reference-shaped path (MERGE_D_FORWARD=False)
-            real_logits, _ = models.D.apply(
-                {"params": pd}, real_images.astype(dt))
+            real_logits, (real_q, vq_stats), gp = (
+                losses.shared_forward_gradient_penalty(real_fwd, real_images)
+            )
+        else:  # unmerged reference-shaped path
+            real_logits, real_q, vq_stats = _apply_rd(
+                pd, vq_stats, real_images.astype(dt), True)
             real_logits = real_logits.astype(jnp.float32)
             gp = jnp.zeros(())
         divergence = losses.hinge_divergence(
             real_logits, fake_logits.astype(jnp.float32))
-        return divergence + gp, (divergence, gp)
+        quantize_loss = jnp.mean((fake_q + real_q).astype(jnp.float32))
+        return divergence + quantize_loss + gp, (
+            divergence, gp, quantize_loss, vq_stats)
 
-    def g_loss_fn(params_g, params_d, image_batch, hist_batch, key,
+    def g_loss_fn(params_g, params_d, vq_stats, image_batch, hist_batch, key,
                   alpha, beta, gamma):
         noise = jax.random.uniform(
             key, (image_batch.shape[0], cfg.image_size, cfg.image_size, 1)
@@ -136,8 +156,8 @@ def make_rehisto_train_step(models: RecolorModels, g_tx, d_tx, cfg):
         dt = compute_dtype(cfg)
         generated = recolor_forward(models, params_g, image_batch, hist_batch,
                                     noise, cfg)
-        fake_logits, _ = models.D.apply(
-            {"params": cast_tree(params_d, dt)}, generated)
+        fake_logits, _, _ = _apply_rd(
+            cast_tree(params_d, dt), vq_stats, generated, False)
         d_loss = gamma * jnp.mean(fake_logits.astype(jnp.float32))
 
         generated32 = generated.astype(jnp.float32)  # loss math fp32
@@ -178,7 +198,8 @@ def make_rehisto_train_step(models: RecolorModels, g_tx, d_tx, cfg):
         # ------------- D phase
         zero_d = jax.tree_util.tree_map(jnp.zeros_like, state.params_d)
 
-        def d_iter(grad_acc, inp):
+        def d_iter(carry, inp):
+            grad_acc, vq_stats = carry
             d_images, d_hists, k = inp
             noise = jax.random.uniform(
                 k, (d_images.shape[0], cfg.image_size, cfg.image_size, 1)
@@ -187,15 +208,16 @@ def make_rehisto_train_step(models: RecolorModels, g_tx, d_tx, cfg):
                 recolor_forward(models, state.params_g, d_images, d_hists,
                                 noise, cfg)
             )
-            (loss, (div, gp)), grads = jax.value_and_grad(
+            (loss, (div, gp, qloss, vq_stats)), grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True
-            )(state.params_d, fake, d_images, apply_gp)
+            )(state.params_d, vq_stats, fake, d_images, apply_gp)
             grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
-            return grad_acc, (div, gp)
+            return (grad_acc, vq_stats), (div, gp, qloss)
 
         d_keys = jax.random.split(k_d, accum)
-        d_grads, (divs, gps) = jax.lax.scan(
-            d_iter, zero_d, (batch["d_images"], batch["d_hists"], d_keys)
+        (d_grads, vq_stats), (divs, gps, qlosses) = jax.lax.scan(
+            d_iter, (zero_d, state.vq_stats),
+            (batch["d_images"], batch["d_hists"], d_keys)
         )
         d_grads = jax.tree_util.tree_map(lambda g: g / accum, d_grads)
         d_updates, opt_d = d_tx.update(d_grads, state.opt_d, state.params_d)
@@ -207,7 +229,7 @@ def make_rehisto_train_step(models: RecolorModels, g_tx, d_tx, cfg):
         def g_iter(grad_acc, inp):
             g_images, g_hists, k = inp
             (loss, aux), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-                state.params_g, params_d, g_images, g_hists, k,
+                state.params_g, params_d, vq_stats, g_images, g_hists, k,
                 alpha, beta, gamma,
             )
             grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
@@ -234,11 +256,12 @@ def make_rehisto_train_step(models: RecolorModels, g_tx, d_tx, cfg):
             "h_loss": jnp.mean(hlosses),
             "r_loss": jnp.mean(rlosses),
             "var_loss": jnp.mean(vlosses),
+            "q_loss": jnp.mean(qlosses),
             "gp_loss": gps[-1] if apply_gp else jnp.zeros(()),
         }
         new_state = state.replace(
             step=state.step + 1, params_g=params_g, params_d=params_d,
-            opt_g=opt_g, opt_d=opt_d,
+            opt_g=opt_g, opt_d=opt_d, vq_stats=vq_stats,
         )
         return new_state, metrics
 

@@ -142,7 +142,9 @@ class RecoloringTrainer:
             "H": self.H.init(ks[1], hist)["params"],
             "G": self.G.init(ks[2], latent, rgb, h_w, noise, pl1, pl2)["params"],
         }
-        params_d = self.D.init(ks[3], img)["params"]
+        d_vars = self.D.init(ks[3], img)
+        params_d = d_vars["params"]
+        vq_stats = d_vars.get("vq_stats", {})  # fq_layers codebooks
 
         self.g_tx = diffgrad(cfg.learning_rate, 0.5, 0.9)
         self.d_tx = diffgrad(cfg.learning_rate, 0.5, 0.9)
@@ -150,6 +152,7 @@ class RecoloringTrainer:
             step=jnp.zeros((), jnp.int32),
             params_g=params_g, params_d=params_d,
             opt_g=self.g_tx.init(params_g), opt_d=self.d_tx.init(params_d),
+            vq_stats=vq_stats,
         )
         self.state = replicate(state, self.mesh)
         self._train_step = make_rehisto_train_step(
@@ -252,6 +255,7 @@ class RecoloringTrainer:
             self.d_loss, self.g_loss = m["d_loss"], m["g_loss"]
             self.h_loss, self.r_loss = m["h_loss"], m["r_loss"]
             self.var_loss = m["var_loss"]
+            self.q_loss = m["q_loss"]
             if apply_gp:
                 self.last_gp_loss = m["gp_loss"]
 

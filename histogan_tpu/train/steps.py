@@ -33,8 +33,8 @@ from histogan_tpu.train.state import HistoGANState
 EPS = 1e-8  # histoGAN/histoGAN.py:53
 
 # Merge the fake+real D forwards into one batch-2B call on non-GP steps
-# (numerically identical without VQ; tests/test_train.py pins equality by
-# flipping this off). Module-level so tests can monkeypatch it.
+# (numerically identical without VQ; tests/test_parallel.py pins equality
+# by flipping this off). Module-level so tests can monkeypatch it.
 MERGE_D_FORWARD = True
 
 
@@ -199,13 +199,9 @@ def make_train_step(models: Models, g_tx, d_tx, cfg):
                 )
                 return logits.astype(jnp.float32), (real_q, vq2)
 
-            real_logits, vjp_fn, (real_q, vq_stats2) = jax.vjp(
-                real_fwd, real_images, has_aux=True
+            real_logits, (real_q, vq_stats2), gp = (
+                losses.shared_forward_gradient_penalty(real_fwd, real_images)
             )
-            (img_grads,) = vjp_fn(jnp.ones_like(real_logits))
-            flat = img_grads.reshape(real_images.shape[0], -1)
-            norms = jnp.linalg.norm(flat, axis=1)
-            gp = 10.0 * jnp.mean(jnp.square(norms - 1.0))
         else:
             real_logits, real_q, vq_stats2 = _apply_d(
                 models, params_d, vq_stats, real_images, k_aug_r, cfg, True

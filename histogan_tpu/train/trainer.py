@@ -189,10 +189,13 @@ class Trainer:
 
         if should_use_device_dataset(self.device_dataset, self.dataset,
                                      self.pool, cfg.dataset_aug_prob):
+            # fixed seed on EVERY process: the device source samples the
+            # GLOBAL batch (the jitted gather spans the whole mesh), so
+            # all hosts must draw identical indices — unlike TrainLoader,
+            # where each host feeds only its local shard
             self.loader = DeviceDataSource(
                 np.asarray(self.dataset._cache), self.pool.pool, self.mesh,
-                cfg.batch_size, cfg.gradient_accumulate_every,
-                seed=int(jax.process_index()) + 7,
+                cfg.batch_size, cfg.gradient_accumulate_every, seed=7,
             )
         else:
             self.loader = TrainLoader(
@@ -312,7 +315,11 @@ class Trainer:
 
         # latents and noise default independently (the reference also
         # resolves each on its own, histoGAN/histoGAN.py:1040-1048; the
-        # r1 combined branch crashed on latents-without-noise calls)
+        # r1 combined branch crashed on latents-without-noise calls).
+        # File-loaded latents resolve BEFORE the noise row count so a
+        # latent file of any row count sizes the noise to match.
+        if latents is None and load_latent_file is not None:
+            latents = jnp.asarray(np.load(load_latent_file))
         if n is None:
             if load_noise_file is not None:
                 n = jnp.asarray(np.load(load_noise_file))
@@ -323,12 +330,9 @@ class Trainer:
                     (rows, cfg.image_size, cfg.image_size, 1),
                 )
         if latents is None:
-            if load_latent_file is not None:
-                latents = jnp.asarray(np.load(load_latent_file))
-            else:
-                latents = jax.random.normal(
-                    self._next_key(), (len(n), cfg.latent_dim)
-                )
+            latents = jax.random.normal(
+                self._next_key(), (len(n), cfg.latent_dim)
+            )
 
         images = self.generate_truncated(
             self._ema_params(), hist_batch, latents, n, trunc_psi=cfg.trunc_psi
@@ -368,10 +372,12 @@ class Trainer:
             for s in range(0, n, bs):
                 take = min(bs, n - s)
                 idx = rng.integers(0, len(self.dataset), size=take)
+                # rng=None: deterministic center-crop (FID reference
+                # statistics must not include random augmentation draws)
                 imgs = np.stack(
-                    [self.dataset.get_image(int(i), rng) for i in idx]
+                    [self.dataset.get_image(int(i), None) for i in idx]
                 )
-                scorer.add_real(imgs)
+                scorer.add_real(imgs[..., :3])  # inception stem is RGB
 
         scorer.reset(real=False)
         params = self._ema_params()
@@ -386,7 +392,7 @@ class Trainer:
             imgs = self.generate_truncated(
                 params, hist, latents, noise, trunc_psi=self.cfg.trunc_psi
             )
-            scorer.add_generated(np.asarray(imgs))
+            scorer.add_generated(np.asarray(imgs)[..., :3])  # RGB only
         self.last_fid = scorer.score()
         return self.last_fid
 

@@ -229,3 +229,30 @@ def test_rehisto_merged_d_forward_matches_unmerged(tmp_path_factory):
     for k in results[True]:
         np.testing.assert_allclose(results[True][k], results[False][k],
                                    rtol=1e-6, atol=1e-7, err_msg=k)
+
+
+def test_rehisto_vq_discriminator_trains(tiny_dataset, tmp_path_factory):
+    """fq_layers on the recoloring D: the step must bind the vq_stats
+    collection, apply the quantize loss, and update the codebook (this
+    crashed with ScopeCollectionNotFound before the r2 fix)."""
+    import jax
+
+    out = tmp_path_factory.mktemp("run_vq")
+    t = RecoloringTrainer(
+        name="vq_re", results_dir=str(out / "results"),
+        models_dir=str(out / "models"), image_size=32, network_capacity=4,
+        latent_dim=32, style_depth=2, batch_size=2,
+        gradient_accumulate_every=1, hist_bin=16, save_every=100,
+        num_devices=1, seed=0, fq_layers=(1,), fq_dict_size=32,
+    )
+    t.init_GAN()
+    assert t.state.vq_stats, "VQ codebook stats must be initialized"
+    before = np.asarray(jax.device_get(
+        jax.tree_util.tree_leaves(t.state.vq_stats)[0]))
+    t.set_data_src(tiny_dataset, sampling=True)
+    for _ in range(2):
+        t.train(alpha=32, beta=1.5, gamma=4)
+    assert np.isfinite(t.d_loss) and np.isfinite(t.q_loss)
+    after = np.asarray(jax.device_get(
+        jax.tree_util.tree_leaves(t.state.vq_stats)[0]))
+    assert not np.array_equal(before, after), "codebook EMA must update"

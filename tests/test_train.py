@@ -175,3 +175,28 @@ def test_ema_schedule_static_flags(trainer):
     trainer.train(alpha=2)
     np.testing.assert_array_equal(leaf(trainer.state.ema),
                                   leaf(trainer.state.params_g))
+
+
+def test_evaluate_latent_file_sizes_noise(trainer, tmp_path):
+    """A latent FILE whose row count differs from num_image_tiles**2 must
+    size the generated noise to match (r2 review: the r1 fix only
+    covered directly-passed latents)."""
+    lat = np.random.RandomState(8).randn(3, 32).astype(np.float32)
+    f = tmp_path / "lat.npy"
+    np.save(f, lat)
+    imgs = trainer.evaluate(num=None, load_latent_file=str(f),
+                            num_image_tiles=2)
+    assert imgs.shape == (3, 32, 32, 3)
+    assert np.isfinite(imgs).all()
+
+
+def test_fid_extractor_missing_weights_raises(monkeypatch):
+    """INCEPTION_WEIGHTS pointing at a missing file must raise, not
+    silently fall back to random-feature FID."""
+    import pytest
+
+    from histogan_tpu.metrics import fid
+
+    monkeypatch.setenv("INCEPTION_WEIGHTS", "/nonexistent/weights.npz")
+    with pytest.raises(FileNotFoundError, match="missing file"):
+        fid.default_extractor()

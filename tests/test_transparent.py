@@ -52,3 +52,38 @@ def test_histogram_rgba_drops_alpha(tmp_path):
     a = np.asarray(histogram_feature(rgba, h=16))
     b = np.asarray(histogram_feature(rgba[..., :3], h=16))
     np.testing.assert_array_equal(a, b)
+
+
+def test_fid_on_transparent_model(tmp_path):
+    """calculate_fid must feed 3-channel images to the extractor even
+    for RGBA models (the inception stem is RGB; r2 review fix), and real
+    draws must be deterministic center-crops (no augmentation)."""
+    import numpy as np
+    from PIL import Image
+
+    from histogan_tpu.train import Trainer
+
+    rng = np.random.RandomState(2)
+    for i in range(4):
+        Image.fromarray((rng.rand(40, 40, 4) * 255).astype(np.uint8),
+                        "RGBA").save(tmp_path / f"{i}.png")
+
+    seen = []
+
+    def probe_extractor(images):
+        x = np.asarray(images, np.float32)
+        seen.append(x.shape)
+        return x.reshape(len(x), -1)[:, :8]
+
+    t = Trainer(
+        name="rgba_fid", results_dir=str(tmp_path / "r"),
+        models_dir=str(tmp_path / "m"), image_size=32, network_capacity=4,
+        latent_dim=32, style_depth=2, batch_size=2, hist_bin=16,
+        transparent=True, dataset_aug_prob=0.9, num_devices=1, seed=0,
+        fid_num_samples=2, fid_extractor=probe_extractor,
+    )
+    t.init_GAN()
+    t.set_data_src(str(tmp_path))
+    fid = t.calculate_fid()
+    assert np.isfinite(fid)
+    assert seen and all(s[-1] == 3 for s in seen), seen
