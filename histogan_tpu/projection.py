@@ -111,6 +111,46 @@ def _forward(trainer, ema, histogram_latent, *, z_styles=None,
     )
 
 
+def _run_optimization(loss_fn, tx, variables, opt_state, num_train_steps,
+                      log_every, save_every, on_log, on_save):
+    """Drive the Adam loop in ``lax.scan`` chunks between host events.
+
+    One jitted dispatch covers every step up to the next log/save
+    boundary (identical print/save semantics to the per-step loop) —
+    on the tunneled dev TPU each dispatch is an RPC, so a
+    ``log_every=0`` run of 1000 steps collapses from 1000 dispatches to
+    ``num_train_steps/save_every``."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def run_chunk(v, s, k):
+        def body(carry, _):
+            v, s = carry
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(v)
+            updates, s = tx.update(grads, s, v)
+            return (optax.apply_updates(v, updates), s), aux
+
+        (v, s), auxes = jax.lax.scan(body, (v, s), None, length=k)
+        return v, s, jax.tree_util.tree_map(lambda x: x[-1], auxes)
+
+    t = 0
+    while t < num_train_steps:
+        nxt = num_train_steps
+        if log_every:
+            u = t if t % log_every == 0 else t + (log_every - t % log_every)
+            nxt = min(nxt, u + 1)
+        u_save = ((t + save_every) // save_every) * save_every - 1
+        nxt = min(nxt, u_save + 1)
+        variables, opt_state, aux = run_chunk(variables, opt_state, nxt - t)
+        last = nxt - 1
+        if log_every and last % log_every == 0:
+            on_log(last, aux)
+        if (last + 1) % save_every == 0:
+            on_save(last, variables)
+        t = nxt
+    return variables, opt_state
+
+
 def _pixel_loss(kind: str, a, b):
     if kind == "L1":
         return jnp.mean(jnp.abs(a - b))
@@ -221,12 +261,6 @@ def project_gaussian(trainer, input_image: str, *, results_dir: str,
     tx = optax.adam(learning_rate)
     opt_state = tx.init(variables)
 
-    @jax.jit
-    def step(v, s):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(v)
-        updates, s = tx.update(grads, s, v)
-        return optax.apply_updates(v, updates), s, loss, aux
-
     start = render(variables)
     save_image(np.asarray(jnp.clip(start[0], 0, 1)), out_dir / f"{filename}_start.jpg")
 
@@ -240,17 +274,22 @@ def project_gaussian(trainer, input_image: str, *, results_dir: str,
                 data[f"noise2_{i}"] = np.asarray(b)
         np.savez(out_dir / f"{filename}_{tag}.npz", **data)
 
-    for t in range(num_train_steps):
-        variables, opt_state, loss, (rec, vl, nls, sl) = step(variables, opt_state)
-        if log_every and (t % log_every == 0):
-            print(f"Optimization step {t + 1}, rec. loss = {float(rec)}, "
-                  f"vgg loss = {float(vl)}, rec. noise reg loss = {float(nls)}, "
-                  f"style reg loss = {float(sl)}")
-        if (t + 1) % save_every == 0:
-            img = render(variables)
-            save_image(np.asarray(jnp.clip(img[0], 0, 1)),
-                       out_dir / f"{filename}_{t + 1}.jpg")
-            dump(variables, str(t + 1))
+    def on_log(t, aux):
+        rec, vl, nls, sl = aux
+        print(f"Optimization step {t + 1}, rec. loss = {float(rec)}, "
+              f"vgg loss = {float(vl)}, rec. noise reg loss = {float(nls)}, "
+              f"style reg loss = {float(sl)}")
+
+    def on_save(t, v):
+        img = render(v)
+        save_image(np.asarray(jnp.clip(img[0], 0, 1)),
+                   out_dir / f"{filename}_{t + 1}.jpg")
+        dump(v, str(t + 1))
+
+    variables, opt_state = _run_optimization(
+        loss_fn, tx, variables, opt_state, num_train_steps,
+        log_every, save_every, on_log, on_save,
+    )
 
     dump(variables, "final")
     img = render(variables)
@@ -354,12 +393,6 @@ def project_to_latent(trainer, input_image: str, *, results_dir: str,
     tx = optax.adam(learning_rate)
     opt_state = tx.init(variables)
 
-    @jax.jit
-    def step(v, s):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(v)
-        updates, s = tx.update(grads, s, v)
-        return optax.apply_updates(v, updates), s, loss, aux
-
     start = render(variables)
     save_image(np.asarray(jnp.clip(start[0], 0, 1)), out_dir / f"{filename}_start.jpg")
 
@@ -377,17 +410,22 @@ def project_to_latent(trainer, input_image: str, *, results_dir: str,
                 data[f"noise2_{i}"] = np.asarray(b)
         np.savez(out_dir / f"{filename}_{tag}.npz", **data)
 
-    for t in range(num_train_steps):
-        variables, opt_state, loss, (rec, vl, nls, sl) = step(variables, opt_state)
-        if log_every and (t % log_every == 0):
-            print(f"Optimization step {t + 1}, rec. loss = {float(rec)}, "
-                  f"vgg loss = {float(vl)}, rec. noise reg loss = {float(nls)}, "
-                  f"style reg loss = {float(sl)}")
-        if (t + 1) % save_every == 0:
-            img = render(variables)
-            save_image(np.asarray(jnp.clip(img[0], 0, 1)),
-                       out_dir / f"{filename}_{t + 1}.jpg")
-            dump(variables, str(t + 1))
+    def on_log(t, aux):
+        rec, vl, nls, sl = aux
+        print(f"Optimization step {t + 1}, rec. loss = {float(rec)}, "
+              f"vgg loss = {float(vl)}, rec. noise reg loss = {float(nls)}, "
+              f"style reg loss = {float(sl)}")
+
+    def on_save(t, v):
+        img = render(v)
+        save_image(np.asarray(jnp.clip(img[0], 0, 1)),
+                   out_dir / f"{filename}_{t + 1}.jpg")
+        dump(v, str(t + 1))
+
+    variables, opt_state = _run_optimization(
+        loss_fn, tx, variables, opt_state, num_train_steps,
+        log_every, save_every, on_log, on_save,
+    )
 
     dump(variables, "final")
     img = render(variables)
