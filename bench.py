@@ -43,7 +43,7 @@ R1_REHISTO_FP32 = 81.4  # r1 reHistoGAN step fp32 batch 16, v5e-1
 
 
 def measure(precision: str = "bf16", n_steps: int = 32,
-            batch_size: int = 16) -> float:
+            batch_size: int = 16, image_size: int = 256) -> float:
     from histogan_tpu.models import (
         Discriminator, Generator, HistVectorizer, StyleVectorizer,
     )
@@ -54,7 +54,7 @@ def measure(precision: str = "bf16", n_steps: int = 32,
     from histogan_tpu.utils.config import HistoGANConfig
 
     cfg = HistoGANConfig(
-        image_size=256, network_capacity=16, batch_size=batch_size,
+        image_size=image_size, network_capacity=16, batch_size=batch_size,
         gradient_accumulate_every=1, precision=precision,
     )
     mesh = make_mesh()
@@ -229,6 +229,13 @@ def main():
             # as a config, measured on demand
             extras["batch32_imgs_per_sec"] = round(measure(precision,
                                                            batch_size=32), 2)
+        if os.environ.get("BENCH_512", "0") == "1":
+            # resolution scaling: the reference's max documented size
+            # (--image_size 512, README.md:133-158); batch 8 to keep the
+            # same per-step pixel budget as 256px/batch 16
+            extras["imgs_per_sec_512px_batch8"] = round(
+                measure(precision, n_steps=16, batch_size=8,
+                        image_size=512), 2)
     except Exception as e:  # noqa: BLE001
         extras["extras_error"] = f"{type(e).__name__}: {e}"[:200]
     if extras:
