@@ -40,6 +40,8 @@ def main():
         models_dir="/tmp/train_demo/models", image_size=image_size,
         network_capacity=16, batch_size=8, gradient_accumulate_every=1,
         save_every=max(100, steps), precision="bf16", seed=0,
+        sync_every=25, calculate_fid_every=max(100, steps // 4),
+        fid_num_samples=32,
     )
     t.init_GAN()
     t.set_data_src(str(data_dir))
@@ -57,6 +59,10 @@ def main():
           f"end-to-end (incl. host data pipeline)", flush=True)
     t.evaluate(num="final")
     print("losses first/last:", hist[0], hist[-1], flush=True)
+    scores = Path("/tmp/train_demo/results/demo/fid_scores.txt")
+    if scores.exists():
+        print("fid trajectory (random-feature extractor):", flush=True)
+        print(scores.read_text().strip(), flush=True)
 
 
 if __name__ == "__main__":
