@@ -43,6 +43,23 @@ garr = jax.make_array_from_process_local_data(
     NamedSharding(mesh, P("data")), local, (8,))
 mean = jax.jit(jnp.mean, out_shardings=NamedSharding(mesh, P()))(garr)
 print("MEAN", float(mean), flush=True)
+
+# device-resident dataset over the multi-host mesh: both processes hold
+# the same data and (fixed-seed) draw the same indices; the jitted
+# gather spans the global mesh and must reproduce the numpy oracle
+from histogan_tpu.data.device_source import DeviceDataSource
+
+rng0 = np.random.default_rng(0)
+images = rng0.integers(0, 256, size=(6, 8, 8, 3), dtype=np.uint8)
+pool = rng0.random((6, 3, 4, 4)).astype(np.float32)
+src = DeviceDataSource(images, pool, mesh, batch_size=4, accum=1, seed=5)
+b = next(src)
+tot = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)),
+              out_shardings=NamedSharding(mesh, P()))(b["d_images"])
+r = np.random.default_rng(5)
+idx = r.integers(0, 6, size=4)
+want = float(images[idx].astype(np.float32).sum())
+print("DSUM", float(tot), want, flush=True)
 """
 
 
@@ -85,6 +102,11 @@ def test_two_process_distributed_init(tmp_path):
         got = float(mean_lines[-1].split()[1])
         # single-process oracle: exact in fp32 (psum of identical shards)
         assert got == want, f"proc {pid}: {got} != {want}"
+        dsum_lines = [l for l in out.splitlines() if l.startswith("DSUM ")]
+        assert dsum_lines, f"proc {pid} printed no DSUM:\n{out}"
+        got_d, want_d = map(float, dsum_lines[-1].split()[1:3])
+        assert got_d == want_d, (
+            f"proc {pid}: device-dataset gather {got_d} != oracle {want_d}")
 
 
 def test_maybe_initialize_is_noop_without_coordinator(monkeypatch):
