@@ -96,10 +96,11 @@ class ImageFolderDataset:
     def _cache_file(self, cache_dir: str) -> Path:
         import hashlib
 
-        ident = "\n".join(
-            f"{p}:{Path(p).stat().st_mtime_ns}:{Path(p).stat().st_size}"
-            for p in self.paths
-        )
+        def line(p):
+            st = Path(p).stat()  # one stat per file (big folders, NFS)
+            return f"{p}:{st.st_mtime_ns}:{st.st_size}"
+
+        ident = "\n".join(line(p) for p in self.paths)
         cfg = f"{self.image_size}:{self.transparent}"
         key = hashlib.sha256((ident + cfg).encode()).hexdigest()[:24]
         return Path(cache_dir) / f"img_cache_{key}.npy"
@@ -209,10 +210,11 @@ class HistogramPool:
         if cache_dir is not None:
             import hashlib
 
-            ident = "\n".join(
-                f"{p}:{Path(p).stat().st_mtime_ns}:{Path(p).stat().st_size}"
-                for p in self.paths
-            )
+            def line(p):
+                st = Path(p).stat()
+                return f"{p}:{st.st_mtime_ns}:{st.st_size}"
+
+            ident = "\n".join(line(p) for p in self.paths)
             cfg = f"{hist_insz}:{hist_bin}:{hist_method}:{hist_resizing}:{hist_sigma}:{transparent}"
             key = hashlib.sha256((ident + cfg).encode()).hexdigest()[:24]
             cache_file = Path(cache_dir) / f"hist_pool_{key}.npy"

@@ -65,6 +65,30 @@ def should_use_device_dataset(flag, dataset, pool,
     return bool(flag)
 
 
+def take_batch(loader, mesh, staged):
+    """The per-step batch for a trainer: DeviceDataSource batches are
+    already mesh-sharded device gathers; streaming loaders consume the
+    previously staged (double-buffered) transfer, or shard one now."""
+    from histogan_tpu.parallel import shard_batch
+
+    if isinstance(loader, DeviceDataSource):
+        return next(loader)
+    if staged is not None:
+        return staged
+    return shard_batch(next(loader), mesh, batch_axis=1)
+
+
+def stage_next_batch(loader, mesh):
+    """Enqueue the NEXT batch's host->device transfer right after the
+    async step dispatch (overlaps compute on DMA-capable hosts); no-op
+    for DeviceDataSource."""
+    from histogan_tpu.parallel import shard_batch
+
+    if isinstance(loader, DeviceDataSource):
+        return None
+    return shard_batch(next(loader), mesh, batch_axis=1)
+
+
 class DeviceDataSource:
     """Iterator yielding mesh-sharded device batches with the TrainLoader
     contract: {'d_images' (A,B,S,S,C) uint8, 'd_hists'/'g_hists'
@@ -111,9 +135,11 @@ class DeviceDataSource:
 
     # TrainLoader-compatible surface -----------------------------------
     def _hists(self, idx: Optional[np.ndarray]) -> jnp.ndarray:
+        """self_hist ties hists to image indices; hists with no image
+        (idx=None, the g_hists of an images-less G phase) interpolate —
+        exactly TrainLoader._make_batch's branch structure."""
         n_items = self.accum * self.batch_size
-        if self.self_hist:
-            assert idx is not None, "self_hist requires per-image indices"
+        if self.self_hist and idx is not None:
             return self._self_hists(self._pool, jnp.asarray(idx))
         pair = self._rng.integers(0, self.n, size=(2, n_items))
         r = self._rng.random((n_items,), dtype=np.float32)

@@ -25,7 +25,7 @@ requires the pretrained weights.
 Architecture spec (channels/kernels/strides/pads) follows torchvision's
 ``torchvision.models.inception.Inception3`` exactly, so a real exported
 state dict loads key-for-key; parity is oracle-tested against a
-reference torch implementation in tests/test_fid.py.
+reference torch implementation in tests/test_inception.py.
 """
 
 from __future__ import annotations

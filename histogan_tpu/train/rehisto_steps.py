@@ -78,66 +78,42 @@ def make_rehisto_train_step(models: RecolorModels, g_tx, d_tx, cfg):
     gauss_kernel = filters.gaussian_kernel(15, 5.0)
     rec_variant = _rec_variant(cfg.rec_loss)
 
-    def _apply_rd(pd, vq_stats, images, train_stats):
-        """D with the vq_stats collection bound when VQ blocks exist
-        (fq_layers — the recoloring Discriminator supports them like the
-        histoGAN one, histoGAN/histoGAN.py:594-601); returns
-        (logits, qloss, new_vq_stats)."""
-        variables = {"params": pd}
-        if vq_stats:
-            variables["vq_stats"] = vq_stats
-        if vq_stats and train_stats:
-            (logits, qloss), updated = models.D.apply(
-                variables, images, train=True, mutable=["vq_stats"]
-            )
-            return logits, qloss, updated["vq_stats"]
-        logits, qloss = models.D.apply(variables, images)
-        return logits, qloss, vq_stats
-
     def d_loss_fn(params_d, vq_stats, fake_images, real_images, apply_gp):
-        from histogan_tpu.train.steps import cast_tree, compute_dtype
-
-        dt = compute_dtype(cfg)
-        pd = cast_tree(params_d, dt)
-
+        # shares steps.py's D-application helpers; the recoloring
+        # Discriminator supports the same VQ blocks
+        # (histoGAN/histoGAN.py:594-601) but the reference
+        # recoloringTrainer has no AugWrapper, hence allow_aug=False /
+        # keys=None
         from histogan_tpu.train import steps as _steps
 
         if _steps.MERGE_D_FORWARD and not apply_gp and not vq_stats:
-            # merged fake+real forward: one batch-2B conv stack instead of
-            # two half-filled ones (D is per-sample without VQ stats;
-            # identical numerics — same optimization as the histoGAN
-            # step, tests/test_rehisto.py)
-            b = fake_images.shape[0]
-            logits, _ = models.D.apply(
-                {"params": pd},
-                jnp.concatenate(
-                    [fake_images.astype(dt), real_images.astype(dt)], axis=0
-                ),
+            divergence, quantize_loss = _steps.merged_hinge_d_forward(
+                models, params_d, fake_images, real_images, None, cfg,
             )
-            divergence = losses.hinge_divergence(
-                logits[b:].astype(jnp.float32), logits[:b].astype(jnp.float32)
-            )
-            return divergence, (divergence, jnp.zeros(()), jnp.zeros(()),
-                                vq_stats)
+            return divergence + quantize_loss, (
+                divergence, jnp.zeros(()), quantize_loss, vq_stats)
 
-        fake_logits, fake_q, vq_stats = _apply_rd(
-            pd, vq_stats, fake_images.astype(dt), True)
+        fake_logits, fake_q, vq_stats = _steps._apply_d(
+            models, params_d, vq_stats, fake_images, None, cfg, True,
+            allow_aug=False)
 
         if apply_gp:
             # share ONE real forward between the hinge logits and the
             # penalty's input gradient via vjp (histoGAN steps.py does the
             # same; replaces the r1 third forward inside gradient_penalty)
             def real_fwd(imgs):
-                logits, rq, vq2 = _apply_rd(pd, vq_stats, imgs.astype(dt),
-                                            True)
+                logits, rq, vq2 = _steps._apply_d(
+                    models, params_d, vq_stats, imgs, None, cfg, True,
+                    allow_aug=False)
                 return logits.astype(jnp.float32), (rq, vq2)
 
             real_logits, (real_q, vq_stats), gp = (
                 losses.shared_forward_gradient_penalty(real_fwd, real_images)
             )
         else:  # unmerged reference-shaped path
-            real_logits, real_q, vq_stats = _apply_rd(
-                pd, vq_stats, real_images.astype(dt), True)
+            real_logits, real_q, vq_stats = _steps._apply_d(
+                models, params_d, vq_stats, real_images, None, cfg, True,
+                allow_aug=False)
             real_logits = real_logits.astype(jnp.float32)
             gp = jnp.zeros(())
         divergence = losses.hinge_divergence(
@@ -151,13 +127,13 @@ def make_rehisto_train_step(models: RecolorModels, g_tx, d_tx, cfg):
         noise = jax.random.uniform(
             key, (image_batch.shape[0], cfg.image_size, cfg.image_size, 1)
         )
-        from histogan_tpu.train.steps import cast_tree, compute_dtype
+        from histogan_tpu.train import steps as _steps
 
-        dt = compute_dtype(cfg)
         generated = recolor_forward(models, params_g, image_batch, hist_batch,
                                     noise, cfg)
-        fake_logits, _, _ = _apply_rd(
-            cast_tree(params_d, dt), vq_stats, generated, False)
+        fake_logits, _, _ = _steps._apply_d(
+            models, params_d, vq_stats, generated, None, cfg, False,
+            allow_aug=False)
         d_loss = gamma * jnp.mean(fake_logits.astype(jnp.float32))
 
         generated32 = generated.astype(jnp.float32)  # loss math fp32

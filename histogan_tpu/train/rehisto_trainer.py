@@ -26,7 +26,7 @@ from histogan_tpu.models import (
     RecoloringGAN,
 )
 from histogan_tpu.optim import diffgrad
-from histogan_tpu.parallel import make_mesh, replicate, shard_batch
+from histogan_tpu.parallel import make_mesh, replicate
 from histogan_tpu.train.checkpoint import CheckpointStore
 from histogan_tpu.train.rehisto_steps import (
     RecolorModels,
@@ -219,29 +219,16 @@ class RecoloringTrainer:
             alpha, gamma, beta = 8.0, 2.0, 1.0  # rehistoGAN.py:900-905
 
         apply_gp = self.steps % 4 == 0
-        from histogan_tpu.data.device_source import DeviceDataSource
+        from histogan_tpu.data.device_source import (
+            stage_next_batch, take_batch,
+        )
 
-        if isinstance(self.loader, DeviceDataSource):
-            # batches are device gathers, already mesh-sharded
-            batch = next(self.loader)
-            self.state, metrics = self._train_step(
-                self.state, batch, self._next_key(), apply_gp=apply_gp,
-                alpha=float(alpha), beta=float(beta), gamma=float(gamma),
-            )
-        else:
-            # double-buffered H2D (same as Trainer.train): consume the
-            # staged batch, enqueue the next transfer behind the async
-            # step dispatch
-            if self._staged_batch is None:
-                self._staged_batch = shard_batch(
-                    next(self.loader), self.mesh, batch_axis=1)
-            batch = self._staged_batch
-            self.state, metrics = self._train_step(
-                self.state, batch, self._next_key(), apply_gp=apply_gp,
-                alpha=float(alpha), beta=float(beta), gamma=float(gamma),
-            )
-            self._staged_batch = shard_batch(
-                next(self.loader), self.mesh, batch_axis=1)
+        batch = take_batch(self.loader, self.mesh, self._staged_batch)
+        self.state, metrics = self._train_step(
+            self.state, batch, self._next_key(), apply_gp=apply_gp,
+            alpha=float(alpha), beta=float(beta), gamma=float(gamma),
+        )
+        self._staged_batch = stage_next_batch(self.loader, self.mesh)
 
         checkpoint_num = self.steps // self.cfg.save_every
         must_sync = (
@@ -267,12 +254,13 @@ class RecoloringTrainer:
                 self.load(checkpoint_num)
                 raise NanException
 
-        if jax.process_index() == 0:
-            if self.steps % self.cfg.save_every == 0:
-                self.save(checkpoint_num)
-            if self.steps % 1000 == 0 or (self.steps % 100 == 0 and self.steps < 2500):
-                self.evaluate(self.steps // 1000,
-                              triple_hist=not self.cfg.fixed_gan_weights)
+        # all processes run the jitted save/eval computation (multi-host
+        # collectives); file IO is host-0-gated inside save/evaluate
+        if self.steps % self.cfg.save_every == 0:
+            self.save(checkpoint_num)
+        if self.steps % 1000 == 0 or (self.steps % 100 == 0 and self.steps < 2500):
+            self.evaluate(self.steps // 1000,
+                          triple_hist=not self.cfg.fixed_gan_weights)
         self.steps += 1
 
     # ------------------------------------------------------------- eval
@@ -336,6 +324,10 @@ class RecoloringTrainer:
             num_rows = int(np.ceil(np.sqrt(hist_batch.shape[0])))
         out_dir = self.results_dir / self.name
         output_name = out_dir / f"{num}-generated.{ext}"
+        # compute runs on every process (multi-host collectives); file
+        # writes and CPU post-processing are host-0 work
+        if jax.process_index() != 0:
+            return generated
         save_image_grid(np.asarray(generated), output_name, nrow=num_rows)
 
         if resizing is not None:
@@ -385,8 +377,11 @@ class RecoloringTrainer:
     # ------------------------------------------------------ persistence
     def save(self, num: int) -> None:
         assert self.state is not None
-        self.store.save(jax.device_get(self.state), num)
-        self.cfg.write_config(self.store.config_path)
+        # replicated state: every host holds a full copy; host 0 writes
+        host_state = jax.device_get(self.state)
+        if jax.process_index() == 0:
+            self.store.save(host_state, num)
+            self.cfg.write_config(self.store.config_path)
 
     def load(self, num: int = -1) -> int:
         self.cfg = self.cfg.load_config(self.store.config_path)

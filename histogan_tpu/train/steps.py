@@ -125,13 +125,16 @@ def _d_variables(params_d, vq_stats):
     return v
 
 
-def _apply_d(models: Models, params_d, vq_stats, images, key, cfg, train_stats: bool):
+def _apply_d(models, params_d, vq_stats, images, key, cfg, train_stats: bool,
+             allow_aug: bool = True):
     """Discriminator with optional batch augmentation; returns
     (logits, qloss, new_vq_stats). Runs in the compute dtype; loss math
-    upstream is fp32."""
+    upstream is fp32. ``allow_aug=False`` (or ``key=None``) disables the
+    AugWrapper — the ReHistoGAN step shares this function but the
+    reference recoloringTrainer has no augmentation."""
     dt = compute_dtype(cfg)
     images = images.astype(dt)
-    if cfg.aug_prob > 0.0:
+    if allow_aug and key is not None and cfg.aug_prob > 0.0:
         images = aug_wrapper(key, images, cfg.aug_prob, cfg.aug_types)
     variables = _d_variables(cast_tree(params_d, dt), vq_stats)
     if vq_stats and train_stats:
@@ -141,6 +144,35 @@ def _apply_d(models: Models, params_d, vq_stats, images, key, cfg, train_stats: 
         return logits, qloss, updated["vq_stats"]
     logits, qloss = models.D.apply(variables, images)
     return logits, qloss, vq_stats
+
+
+def merged_hinge_d_forward(models, params_d, fake_images, real_images,
+                           keys, cfg):
+    """ONE batch-2B D forward for the non-GP hinge phase (no VQ stats —
+    callers gate on ``not vq_stats``): augment fake/real separately when
+    enabled (separate keys, reference draw-parity), concat, split the
+    logits. Numerically identical to two half-batch calls since D is
+    per-sample; fills the MXU twice as well (docs/DESIGN.md round-2
+    ledger). ``keys=None`` disables augmentation (ReHistoGAN).
+    Returns (divergence, quantize_loss)."""
+    dt = compute_dtype(cfg)
+    imgs_f = fake_images.astype(dt)
+    imgs_r = real_images.astype(dt)
+    if keys is not None and cfg.aug_prob > 0.0:
+        k_f, k_r = keys
+        imgs_f = aug_wrapper(k_f, imgs_f, cfg.aug_prob, cfg.aug_types)
+        imgs_r = aug_wrapper(k_r, imgs_r, cfg.aug_prob, cfg.aug_types)
+    b = imgs_f.shape[0]
+    logits, qloss = models.D.apply(
+        {"params": cast_tree(params_d, compute_dtype(cfg))},
+        jnp.concatenate([imgs_f, imgs_r], axis=0),
+    )
+    divergence = losses.hinge_divergence(
+        logits[b:].astype(jnp.float32), logits[:b].astype(jnp.float32)
+    )
+    # VQ blocks are structurally absent here, so this is an exact zero
+    # like the unmerged path's quantize term
+    return divergence, jnp.mean(qloss.astype(jnp.float32))
 
 
 def make_train_step(models: Models, g_tx, d_tx, cfg):
@@ -158,29 +190,10 @@ def make_train_step(models: Models, g_tx, d_tx, cfg):
         k_aug_f, k_aug_r = keys
 
         if MERGE_D_FORWARD and not apply_gp and not vq_stats:
-            # Merged D forward: augment fake/real separately (separate
-            # keys, reference draw-parity) then run ONE batch-2B forward.
-            # D is per-sample (no batch coupling without VQ stats), so
-            # splitting the logits is numerically identical to two calls
-            # — and the 2B conv fwd+bwd fills the MXU twice as well
-            # (measured: see docs/DESIGN.md round-2 ledger).
-            dt = compute_dtype(cfg)
-            imgs_f = fake_images.astype(dt)
-            imgs_r = real_images.astype(dt)
-            if cfg.aug_prob > 0.0:
-                imgs_f = aug_wrapper(k_aug_f, imgs_f, cfg.aug_prob, cfg.aug_types)
-                imgs_r = aug_wrapper(k_aug_r, imgs_r, cfg.aug_prob, cfg.aug_types)
-            b = imgs_f.shape[0]
-            logits, qloss = models.D.apply(
-                _d_variables(cast_tree(params_d, dt), vq_stats),
-                jnp.concatenate([imgs_f, imgs_r], axis=0),
+            divergence, quantize_loss = merged_hinge_d_forward(
+                models, params_d, fake_images, real_images,
+                (k_aug_f, k_aug_r), cfg,
             )
-            fake_logits = logits[:b].astype(jnp.float32)
-            real_logits = logits[b:].astype(jnp.float32)
-            divergence = losses.hinge_divergence(real_logits, fake_logits)
-            # VQ blocks are structurally absent here (vq_stats empty), so
-            # the quantize term is an exact zero like the unmerged path's
-            quantize_loss = jnp.mean(qloss.astype(jnp.float32))
             return divergence + quantize_loss, (
                 divergence, quantize_loss, jnp.zeros(()), vq_stats
             )

@@ -20,7 +20,7 @@ import numpy as np
 from histogan_tpu.data.dataset import HistogramPool, ImageFolderDataset, TrainLoader
 from histogan_tpu.models import Discriminator, Generator, HistVectorizer, StyleVectorizer
 from histogan_tpu.optim import diffgrad
-from histogan_tpu.parallel import make_mesh, replicate, shard_batch
+from histogan_tpu.parallel import make_mesh, replicate
 from histogan_tpu.train.checkpoint import CheckpointStore
 from histogan_tpu.train.state import HistoGANState
 from histogan_tpu.train.steps import Models, make_train_step
@@ -227,29 +227,17 @@ class Trainer:
         apply_ema = self.steps > 20000 and self.steps % 10 == 0
         apply_reset = self.steps <= 25000 and self.steps % 1000 == 2
 
-        from histogan_tpu.data.device_source import DeviceDataSource
+        from histogan_tpu.data.device_source import (
+            stage_next_batch, take_batch,
+        )
 
-        if isinstance(self.loader, DeviceDataSource):
-            # batches are device gathers, already mesh-sharded
-            batch = next(self.loader)
-            self.state, metrics = self._train_step(
-                self.state, batch, self._next_key(), apply_gp=apply_gp,
-                apply_pl=apply_pl, apply_ema=apply_ema
-            )
-        else:
-            # double-buffered H2D: the batch staged on the PREVIOUS step
-            # is consumed here, and the next one is enqueued right after
-            # the (async) step dispatch so its transfer overlaps compute
-            if self._staged_batch is None:
-                self._staged_batch = shard_batch(
-                    next(self.loader), self.mesh, batch_axis=1)
-            batch = self._staged_batch
-            self.state, metrics = self._train_step(
-                self.state, batch, self._next_key(), apply_gp=apply_gp,
-                apply_pl=apply_pl, apply_ema=apply_ema
-            )
-            self._staged_batch = shard_batch(
-                next(self.loader), self.mesh, batch_axis=1)
+        batch = take_batch(self.loader, self.mesh, self._staged_batch)
+        self.state, metrics = self._train_step(
+            self.state, batch, self._next_key(), apply_gp=apply_gp,
+            apply_pl=apply_pl, apply_ema=apply_ema
+        )
+        # stage the next transfer behind the async step dispatch
+        self._staged_batch = stage_next_batch(self.loader, self.mesh)
         if apply_reset:  # reset_parameter_averaging, applied eagerly
             self.state = self.state.replace(
                 ema=jax.tree_util.tree_map(jnp.copy, self.state.params_g)
@@ -283,14 +271,18 @@ class Trainer:
                 self.load(checkpoint_num)
                 raise NanException
 
-        if jax.process_index() == 0:
-            if self.steps % self.cfg.save_every == 0:
-                self.save(checkpoint_num)
-            if self.steps % 1000 == 0 or (self.steps % 100 == 0 and self.steps < 2500):
-                self.evaluate(self.steps // 1000)
-            if (self.calculate_fid_every is not None
-                    and self.steps % self.calculate_fid_every == 0):
-                fid = self.calculate_fid()
+        # ALL processes run the jitted save/eval/FID computation — on a
+        # multi-host mesh these are collectives over non-addressable
+        # devices (orbax save likewise); only file IO is host-0-gated
+        # (inside save/evaluate, and the score append here)
+        if self.steps % self.cfg.save_every == 0:
+            self.save(checkpoint_num)
+        if self.steps % 1000 == 0 or (self.steps % 100 == 0 and self.steps < 2500):
+            self.evaluate(self.steps // 1000)
+        if (self.calculate_fid_every is not None
+                and self.steps % self.calculate_fid_every == 0):
+            fid = self.calculate_fid()
+            if jax.process_index() == 0:
                 with open(self.results_dir / self.name / "fid_scores.txt",
                           "a") as f:
                     f.write(f"{self.steps},{fid:.4f}\n")
@@ -337,13 +329,13 @@ class Trainer:
         images = self.generate_truncated(
             self._ema_params(), hist_batch, latents, n, trunc_psi=cfg.trunc_psi
         )
-        if num is not None:
+        if num is not None and jax.process_index() == 0:
             save_image_grid(
                 np.asarray(images),
                 self.results_dir / self.name / f"{num}-ema.{ext}",
                 nrow=num_rows,
             )
-        if save_noise_latent:
+        if save_noise_latent and jax.process_index() == 0:
             tmp = Path("temp") / self.name
             tmp.mkdir(parents=True, exist_ok=True)
             np.save(tmp / f"{num}-noise.npy", np.asarray(n))
@@ -381,12 +373,20 @@ class Trainer:
 
         scorer.reset(real=False)
         params = self._ema_params()
+        # FID must be side-effect-free: dedicated deterministic streams,
+        # NOT self._next_key()/self._eval_rng — enabling FID tracking
+        # must not change the training/eval trajectory (and on multi-host
+        # every process must stay on the same main key chain)
+        fid_key = jax.random.fold_in(jax.random.PRNGKey(24242), self.steps)
+        hist_rng = np.random.default_rng(4243 + self.steps)
         for s in range(0, n, bs):
             take = min(bs, n - s)
-            hist = self._eval_hist_batch(take)
-            latents = jax.random.normal(self._next_key(), (take, self.cfg.latent_dim))
+            idx = hist_rng.integers(0, len(self.pool), size=take)
+            hist = jnp.asarray(self.pool.self_hist(idx))
+            latents = jax.random.normal(
+                jax.random.fold_in(fid_key, 2 * s), (take, self.cfg.latent_dim))
             noise = jax.random.uniform(
-                self._next_key(),
+                jax.random.fold_in(fid_key, 2 * s + 1),
                 (take, self.cfg.image_size, self.cfg.image_size, 1),
             )
             imgs = self.generate_truncated(
@@ -461,9 +461,12 @@ class Trainer:
 
     def save(self, num: int) -> None:
         assert self.state is not None
+        # replicated state: every host holds a full local copy; only
+        # host 0 writes the checkpoint files
         host_state = jax.device_get(self.state)
-        self.store.save(host_state, num)
-        self.write_config()
+        if jax.process_index() == 0:
+            self.store.save(host_state, num)
+            self.write_config()
 
     def load(self, num: int = -1) -> None:
         self.load_config()
