@@ -25,7 +25,7 @@ streaming TrainLoader then, or when the cache exceeds the HBM budget.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -129,38 +129,61 @@ class DeviceDataSource:
         def self_hists(pool, idx):
             return pool[idx].reshape(a, b, *pool.shape[1:])
 
-        self._gather_images = jax.jit(gather_images, out_shardings=sharded)
-        self._interp_hists = jax.jit(interp_hists, out_shardings=sharded)
-        self._self_hists = jax.jit(self_hists, out_shardings=sharded)
+        # ONE jitted dispatch builds the whole batch dict (self_hist /
+        # include_g_images are trace-time constants) — per-dispatch
+        # latency is the dominant cost on RPC-attached devices, and even
+        # locally one program beats 3-4
+        def make_batch(images, pool, draws):
+            batch = {"d_images": gather_images(images, draws["d_idx"])}
+            if self_hist:
+                batch["d_hists"] = self_hists(pool, draws["d_idx"])
+            else:
+                batch["d_hists"] = interp_hists(pool, draws["d_pair"],
+                                                draws["d_r"])
+            if include_g_images:
+                batch["g_images"] = gather_images(images, draws["g_idx"])
+                if self_hist:
+                    batch["g_hists"] = self_hists(pool, draws["g_idx"])
+                else:
+                    batch["g_hists"] = interp_hists(pool, draws["g_pair"],
+                                                    draws["g_r"])
+            else:
+                # images-less G phase interpolates even in self_hist mode
+                # (TrainLoader._make_batch's branch structure)
+                batch["g_hists"] = interp_hists(pool, draws["g_pair"],
+                                                draws["g_r"])
+            return batch
 
-    # TrainLoader-compatible surface -----------------------------------
-    def _hists(self, idx: Optional[np.ndarray]) -> jnp.ndarray:
-        """self_hist ties hists to image indices; hists with no image
-        (idx=None, the g_hists of an images-less G phase) interpolate —
-        exactly TrainLoader._make_batch's branch structure."""
+        self._make_batch = jax.jit(
+            make_batch, out_shardings={
+                k: sharded for k in
+                (["d_images", "d_hists", "g_hists"]
+                 + (["g_images"] if include_g_images else []))
+            },
+        )
+
+    def _draws(self) -> Dict[str, np.ndarray]:
+        """Host-side index/ratio draws, same rng ORDER as the previous
+        per-array dispatch form (pinned by tests/test_data.py)."""
         n_items = self.accum * self.batch_size
-        if self.self_hist and idx is not None:
-            return self._self_hists(self._pool, jnp.asarray(idx))
-        pair = self._rng.integers(0, self.n, size=(2, n_items))
-        r = self._rng.random((n_items,), dtype=np.float32)
-        return self._interp_hists(self._pool, jnp.asarray(pair),
-                                  jnp.asarray(r))
+        rng = self._rng
+        d = {"d_idx": rng.integers(0, self.n, size=n_items)}
+        if not self.self_hist:
+            d["d_pair"] = rng.integers(0, self.n, size=(2, n_items))
+            d["d_r"] = rng.random((n_items,), dtype=np.float32)
+        if self.include_g_images:
+            d["g_idx"] = rng.integers(0, self.n, size=n_items)
+            if not self.self_hist:
+                d["g_pair"] = rng.integers(0, self.n, size=(2, n_items))
+                d["g_r"] = rng.random((n_items,), dtype=np.float32)
+        else:
+            d["g_pair"] = rng.integers(0, self.n, size=(2, n_items))
+            d["g_r"] = rng.random((n_items,), dtype=np.float32)
+        return d
 
     def __next__(self) -> Dict[str, jnp.ndarray]:
-        n_items = self.accum * self.batch_size
-        idx = self._rng.integers(0, self.n, size=n_items)
-        batch = {
-            "d_images": self._gather_images(self._images, jnp.asarray(idx)),
-            "d_hists": self._hists(idx),
-        }
-        if self.include_g_images:
-            g_idx = self._rng.integers(0, self.n, size=n_items)
-            batch["g_images"] = self._gather_images(
-                self._images, jnp.asarray(g_idx))
-            batch["g_hists"] = self._hists(g_idx)
-        else:
-            batch["g_hists"] = self._hists(None)
-        return batch
+        draws = {k: jnp.asarray(v) for k, v in self._draws().items()}
+        return self._make_batch(self._images, self._pool, draws)
 
     def __iter__(self):
         return self

@@ -69,22 +69,38 @@ def main():
     ap.add_argument("--image-size", type=int, default=256)
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--models-dir", default="/tmp/e2e_models")
+    ap.add_argument("--rehisto", action="store_true",
+                    help="Measure the ReHistoGAN (recoloring) trainer "
+                         "instead: real images on BOTH phases.")
     args = ap.parse_args()
 
     make_synthetic_dataset(args.data)
 
-    from histogan_tpu.train.trainer import Trainer
-
     t0 = time.perf_counter()
-    tr = Trainer(
-        name="bench_e2e", results_dir="/tmp/e2e_results",
-        models_dir=args.models_dir,
-        image_size=args.image_size, network_capacity=16,
-        batch_size=args.batch_size, gradient_accumulate_every=1,
-        precision=args.precision, sync_every=args.sync_every,
-        save_every=100000,
-    )
-    tr.set_data_src(args.data)
+    if args.rehisto:
+        from histogan_tpu.train.rehisto_trainer import RecoloringTrainer
+
+        tr = RecoloringTrainer(
+            name="bench_e2e_re", results_dir="/tmp/e2e_results",
+            models_dir=args.models_dir,
+            image_size=args.image_size, network_capacity=16,
+            batch_size=args.batch_size, gradient_accumulate_every=1,
+            precision=args.precision, sync_every=args.sync_every,
+            save_every=100000, skip_conn_to_GAN=True, variance_loss=True,
+        )
+        tr.set_data_src(args.data, sampling=True)
+    else:
+        from histogan_tpu.train.trainer import Trainer
+
+        tr = Trainer(
+            name="bench_e2e", results_dir="/tmp/e2e_results",
+            models_dir=args.models_dir,
+            image_size=args.image_size, network_capacity=16,
+            batch_size=args.batch_size, gradient_accumulate_every=1,
+            precision=args.precision, sync_every=args.sync_every,
+            save_every=100000,
+        )
+        tr.set_data_src(args.data)
     setup_s = time.perf_counter() - t0
     print(f"setup (decode cache + hist pool): {setup_s:.1f}s", flush=True)
 
@@ -97,6 +113,9 @@ def main():
     print(f"warmup {args.warmup} steps: {time.perf_counter() - t0:.1f}s "
           f"(d_loss={tr.d_loss:.3f})", flush=True)
 
+    import jax
+    import jax.numpy as jnp
+
     imgs_per_step = args.batch_size
     t0 = time.perf_counter()
     start = tr.steps
@@ -104,11 +123,13 @@ def main():
         tr.train()
     # the trainer's own sync cadence already fetched metrics inside the
     # window; one final fetch closes the dependency chain
-    float(tr.state.pl_mean)
+    float(jnp.sum(jax.tree_util.tree_leaves(tr.state.params_d)[0]
+                  .astype(jnp.float32)))
     dt = time.perf_counter() - t0
     rate = args.steps * imgs_per_step / dt
+    family = "rehistogan" if args.rehisto else "histogan"
     print(json.dumps({
-        "metric": f"histogan_e2e_train_imgs_per_sec_{args.image_size}px_"
+        "metric": f"{family}_e2e_train_imgs_per_sec_{args.image_size}px_"
                   f"cap16_{args.precision}",
         "value": round(rate, 2),
         "unit": "imgs/sec",
