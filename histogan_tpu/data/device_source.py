@@ -45,7 +45,25 @@ def should_use_device_dataset(flag, dataset, pool,
 
     Eligible iff the decoded uint8 cache exists (cache_dir was set),
     per-item augmentation doesn't need host decode, and images + pool
-    fit the HBM budget. True with an ineligible dataset raises."""
+    fit the HBM budget. True with an ineligible dataset raises.
+
+    String flags are normalized ("true"/"false"/"auto", any case) and
+    unknown strings raise — ``bool("false")`` is True, so passing the
+    CLI's own surface value straight through would silently ENABLE the
+    device dataset (ADVICE r2)."""
+    if isinstance(flag, str):
+        norm = flag.strip().lower()
+        if norm in ("true", "1", "yes"):
+            flag = True
+        elif norm in ("false", "0", "no"):
+            flag = False
+        elif norm == "auto":
+            flag = "auto"
+        else:
+            raise ValueError(
+                f"device_dataset={flag!r}: expected True/False/'auto' "
+                "(or the strings 'true'/'false'/'auto')"
+            )
     if flag is False:
         return False
     cache = getattr(dataset, "_cache", None)
@@ -102,6 +120,16 @@ class DeviceDataSource:
                  batch_size: int, accum: int, seed: int = 0,
                  self_hist: bool = False, include_g_images: bool = False):
         assert images.dtype == np.uint8, "expects the decoded uint8 cache"
+        n_dev = mesh.shape["data"]
+        if batch_size % n_dev != 0:
+            # same actionable contract as parallel/mesh.py shard_batch —
+            # without this the jitted gather's out_shardings fail with an
+            # opaque GSPMD error (ADVICE r2)
+            raise ValueError(
+                f"batch_size {batch_size} is not divisible by the "
+                f"{n_dev}-device 'data' mesh axis; pick a per-step batch "
+                f"that is a multiple of {n_dev} (or shrink the mesh)"
+            )
         self.n = images.shape[0]
         self.mesh = mesh
         self.batch_size = batch_size

@@ -119,19 +119,36 @@ def _run_optimization(loss_fn, tx, variables, opt_state, num_train_steps,
     boundary (identical print/save semantics to the per-step loop) —
     on the tunneled dev TPU each dispatch is an RPC, so a
     ``log_every=0`` run of 1000 steps collapses from 1000 dispatches to
-    ``num_train_steps/save_every``."""
+    ``num_train_steps/save_every``.
+
+    The scan length is ONE static value (the largest boundary gap) with
+    a dynamic active-step count masking the tail: misaligned
+    log_every/save_every used to generate a distinct minutes-long remote
+    compile per distinct chunk length (ADVICE r2); now every chunk hits
+    the same compiled program. Inactive tail steps compute-and-discard
+    (losses on frozen variables — cheap next to a recompile)."""
     import functools
 
-    @functools.partial(jax.jit, static_argnums=2)
-    def run_chunk(v, s, k):
-        def body(carry, _):
+    @functools.partial(jax.jit, static_argnums=3)
+    def run_chunk(v, s, n_active, length):
+        def body(carry, i):
             v, s = carry
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(v)
-            updates, s = tx.update(grads, s, v)
-            return (optax.apply_updates(v, updates), s), aux
+            updates, s2 = tx.update(grads, s, v)
+            v2 = optax.apply_updates(v, updates)
+            active = i < n_active
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(active, a, b), new, old)
+            return (keep(v2, v), keep(s2, s)), aux
 
-        (v, s), auxes = jax.lax.scan(body, (v, s), None, length=k)
-        return v, s, jax.tree_util.tree_map(lambda x: x[-1], auxes)
+        (v, s), auxes = jax.lax.scan(body, (v, s), jnp.arange(length))
+        # aux of the last ACTIVE step (dynamic index into the stacked outs)
+        return v, s, jax.tree_util.tree_map(lambda x: x[n_active - 1], auxes)
+
+    # largest possible gap between host-event boundaries -> the single
+    # static scan length every dispatch reuses
+    chunk_len = min(x for x in (log_every or None, save_every,
+                                num_train_steps) if x)
 
     t = 0
     while t < num_train_steps:
@@ -141,7 +158,8 @@ def _run_optimization(loss_fn, tx, variables, opt_state, num_train_steps,
             nxt = min(nxt, u + 1)
         u_save = ((t + save_every) // save_every) * save_every - 1
         nxt = min(nxt, u_save + 1)
-        variables, opt_state, aux = run_chunk(variables, opt_state, nxt - t)
+        variables, opt_state, aux = run_chunk(variables, opt_state,
+                                              nxt - t, chunk_len)
         last = nxt - 1
         if log_every and last % log_every == 0:
             on_log(last, aux)

@@ -190,8 +190,11 @@ class RecoloringTrainer:
             DeviceDataSource, should_use_device_dataset,
         )
 
+        # pass the DATASET's own aug_prob (not a config lookup) so the
+        # eligibility check can never drift from how the dataset was
+        # actually constructed (ADVICE r2)
         if should_use_device_dataset(self.device_dataset, self.dataset,
-                                     self.pool):
+                                     self.pool, self.dataset.aug_prob):
             self.loader = DeviceDataSource(
                 np.asarray(self.dataset._cache), self.pool.pool, self.mesh,
                 cfg.batch_size, cfg.gradient_accumulate_every, seed=11,

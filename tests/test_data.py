@@ -206,8 +206,19 @@ def test_device_dataset_source(tmp_path):
     assert should_use_device_dataset("auto", ds, pool, 0.0)
     assert not should_use_device_dataset("auto", ds, pool, 0.5)  # aug
     assert not should_use_device_dataset(False, ds, pool, 0.0)
+    # string flags normalize (ADVICE r2) — bool("false") is True, so the
+    # CLI surface values must be parsed, not truth-tested
+    assert should_use_device_dataset("false", ds, pool, 0.0) is False
+    assert should_use_device_dataset("False", ds, pool, 0.0) is False
+    assert should_use_device_dataset("true", ds, pool, 0.0) is True
+    with pytest.raises(ValueError, match="device_dataset"):
+        should_use_device_dataset("maybe", ds, pool, 0.0)
 
     mesh = make_mesh(2)
+    # batch not divisible by the mesh: curated error, not a GSPMD one
+    with pytest.raises(ValueError, match="divisible"):
+        DeviceDataSource(np.asarray(ds._cache), pool.pool, mesh,
+                         batch_size=3, accum=1)
     src = DeviceDataSource(np.asarray(ds._cache), pool.pool, mesh,
                            batch_size=4, accum=2, seed=5)
     import jax.numpy as jnp

@@ -77,3 +77,46 @@ def test_latent_noise_mode(setup):
         latent_noise=True, seed=1,
     )
     assert out_name.exists()
+
+
+def test_run_optimization_masked_chunks_match_per_step():
+    """The fixed-length masked-chunk loop (ADVICE r2: one compiled scan
+    length instead of one per distinct log/save gap) must reproduce the
+    naive per-step loop exactly, including log/save cadence, for a
+    deliberately MISALIGNED log_every/save_every pair."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from histogan_tpu.projection import _run_optimization
+
+    tx = optax.adam(0.1)
+    target = jnp.arange(4.0)
+
+    def loss_fn(v):
+        loss = jnp.sum((v["x"] - target) ** 2)
+        return loss, {"loss": loss}
+
+    v0 = {"x": jnp.zeros(4)}
+    s0 = tx.init(v0)
+    logs, saves = [], []
+    v, _ = _run_optimization(
+        loss_fn, tx, v0, s0, num_train_steps=10, log_every=3, save_every=4,
+        on_log=lambda i, aux: logs.append((i, float(aux["loss"]))),
+        on_save=lambda i, vv: saves.append(i),
+    )
+
+    vr, sr = v0, s0
+    ref_losses = []
+    for _ in range(10):
+        (loss, _aux), g = jax.value_and_grad(loss_fn, has_aux=True)(vr)
+        ref_losses.append(float(loss))
+        upd, sr = tx.update(g, sr, vr)
+        vr = optax.apply_updates(vr, upd)
+
+    np.testing.assert_allclose(np.asarray(v["x"]), np.asarray(vr["x"]),
+                               rtol=0, atol=1e-6)
+    assert [i for i, _ in logs] == [0, 3, 6, 9]
+    for i, loss in logs:
+        assert loss == pytest.approx(ref_losses[i], rel=1e-6)
+    assert saves == [3, 7]
