@@ -62,7 +62,7 @@ def train_from_folder(
     hist_sigma=0.02, hist_bin=64, hist_insz=150, alpha=2, target_hist=None,
     aug_prob=0.0, dataset_aug_prob=0.0, aug_types=None, seed=42,
     num_devices=None, load_pt=None, precision="fp32", sync_every=1,
-    device_dataset="auto", calculate_fid_every=None,
+    device_dataset="auto", calculate_fid_every=None, split_step=False,
 ):
     from histogan_tpu.ops.histogram import RGBuvHistBlock
     from histogan_tpu.train import NanException, Trainer
@@ -79,7 +79,7 @@ def train_from_folder(
         dataset_aug_prob=dataset_aug_prob, aug_types=aug_types, seed=seed,
         num_devices=num_devices, precision=precision, sync_every=sync_every,
         device_dataset=device_dataset,
-        calculate_fid_every=calculate_fid_every,
+        calculate_fid_every=calculate_fid_every, split_step=split_step,
     )
 
     if not new:
@@ -200,6 +200,11 @@ def get_args(argv=None):
         choices=("auto", "true", "false"),
         help="Park the decoded dataset + hist pool in HBM and gather "
              "batches on device (auto: when eligible; see DESIGN.md).")
+    add("--split_step", action="store_true",
+        help="Compile the D and G phases as two separate XLA programs "
+             "(identical numerics; escape hatch for compiler resource "
+             "limits on very large images — the Trainer also falls "
+             "back to this automatically).")
     add("--calculate_fid_every", type=int, default=None,
         help="Score FID on EMA samples every N steps "
              "(results/<name>/fid_scores.txt).")
@@ -250,6 +255,7 @@ def main(argv=None):
         device_dataset={"true": True, "false": False}.get(
             args.device_dataset, "auto"),
         calculate_fid_every=args.calculate_fid_every,
+        split_step=args.split_step,
     )
 
 

@@ -32,6 +32,19 @@ class NanException(Exception):
     pass
 
 
+def _looks_like_compile_failure(e: Exception) -> bool:
+    """Heuristic for 'the XLA program failed to COMPILE' (vs a runtime
+    error): only then is the split-step retry safe and useful. Matches
+    the observed dev-tunnel failure (HTTP 500 from tpu_compile_helper,
+    surfacing as an INTERNAL XlaRuntimeError) plus generic compiler
+    resource exhaustion."""
+    msg = f"{type(e).__name__}: {e}".lower()
+    return any(s in msg for s in (
+        "compil", "resource_exhausted", "resource exhausted", "internal",
+        "http", "500", "out of memory", "program too large",
+    ))
+
+
 class Trainer:
     def __init__(self, name="default", results_dir="results", models_dir="models",
                  image_size=128, network_capacity=16, transparent=False,
@@ -44,7 +57,7 @@ class Trainer:
                  latent_dim=512, style_depth=8, num_devices=None, seed=42,
                  precision="fp32", sync_every=1, calculate_fid_every=None,
                  fid_num_samples=256, fid_extractor=None,
-                 device_dataset="auto", **_unused):
+                 device_dataset="auto", split_step=False, **_unused):
         # sync_every: fetch step metrics every N steps instead of every
         # step (1 = reference-parity). >1 removes the per-step
         # host<->device sync (NaN rollback then triggers up to N-1 steps
@@ -65,6 +78,7 @@ class Trainer:
             learning_rate=lr, mixed_prob=mixed_prob, aug_prob=aug_prob,
             aug_types=tuple(aug_types), dataset_aug_prob=dataset_aug_prob,
             save_every=save_every, trunc_psi=trunc_psi, precision=precision,
+            split_step=bool(split_step),
         )
         self.name = name
         self.results_dir = Path(results_dir)
@@ -168,7 +182,9 @@ class Trainer:
             vq_stats=vq_stats,
         )
         self.state = replicate(state, self.mesh)
-        self._train_step = make_train_step(self.models, self.g_tx, self.d_tx, cfg)
+        self._train_step = make_train_step(self.models, self.g_tx,
+                                           self.d_tx, cfg,
+                                           split=cfg.split_step)
         self.av = None
 
     # ------------------------------------------------------------- data
@@ -188,7 +204,7 @@ class Trainer:
         )
 
         if should_use_device_dataset(self.device_dataset, self.dataset,
-                                     self.pool, cfg.dataset_aug_prob):
+                                     self.pool, self.dataset.aug_prob):
             # fixed seed on EVERY process: the device source samples the
             # GLOBAL batch (the jitted gather spans the whole mesh), so
             # all hosts must draw identical indices — unlike TrainLoader,
@@ -218,7 +234,9 @@ class Trainer:
             import dataclasses
 
             self.cfg = dataclasses.replace(self.cfg, alpha=alpha)
-            self._train_step = make_train_step(self.models, self.g_tx, self.d_tx, self.cfg)
+            self._train_step = make_train_step(self.models, self.g_tx,
+                                               self.d_tx, self.cfg,
+                                               split=self.cfg.split_step)
 
         apply_gp = self.steps % 4 == 0
         apply_pl = self.steps % 32 == 0
@@ -232,10 +250,33 @@ class Trainer:
         )
 
         batch = take_batch(self.loader, self.mesh, self._staged_batch)
-        self.state, metrics = self._train_step(
-            self.state, batch, self._next_key(), apply_gp=apply_gp,
-            apply_pl=apply_pl, apply_ema=apply_ema
-        )
+        step_key = self._next_key()
+        try:
+            self.state, metrics = self._train_step(
+                self.state, batch, step_key, apply_gp=apply_gp,
+                apply_pl=apply_pl, apply_ema=apply_ema
+            )
+        except Exception as e:  # noqa: BLE001
+            if self.cfg.split_step or not _looks_like_compile_failure(e):
+                raise
+            # the fused one-program step exceeded a compiler resource
+            # limit (observed for 512px on the dev tunnel's remote
+            # compile helper) — fall back to two half-size programs.
+            # Safe to retry: a compile failure happens before execution,
+            # so the donated state buffers were never consumed.
+            print(f"fused train step failed to compile "
+                  f"({type(e).__name__}); retrying with split D/G "
+                  f"programs (cfg.split_step)")
+            import dataclasses
+
+            self.cfg = dataclasses.replace(self.cfg, split_step=True)
+            self._train_step = make_train_step(self.models, self.g_tx,
+                                               self.d_tx, self.cfg,
+                                               split=True)
+            self.state, metrics = self._train_step(
+                self.state, batch, step_key, apply_gp=apply_gp,
+                apply_pl=apply_pl, apply_ema=apply_ema
+            )
         # stage the next transfer behind the async step dispatch
         self._staged_batch = stage_next_batch(self.loader, self.mesh)
         if apply_reset:  # reset_parameter_averaging, applied eagerly

@@ -43,6 +43,13 @@ class HistoGANConfig:
     trunc_psi: float = 0.75
     # precision policy: 'fp32' or 'bf16' compute (params stay fp32)
     precision: str = "fp32"
+    # compile the D and G phases as two separate XLA programs instead of
+    # one fused step (numerically identical; steps.py). The escape hatch
+    # when the fused program exceeds a compiler resource limit — the
+    # observed failure mode for the 512px train step on the dev tunnel's
+    # remote compile helper (BASELINE.md). The Trainer also falls back to
+    # this automatically when the fused compile fails.
+    split_step: bool = False
 
     @property
     def num_layers(self) -> int:

@@ -256,3 +256,62 @@ def test_rehisto_vq_discriminator_trains(tiny_dataset, tmp_path_factory):
     after = np.asarray(jax.device_get(
         jax.tree_util.tree_leaves(t.state.vq_stats)[0]))
     assert not np.array_equal(before, after), "codebook EMA must update"
+
+
+def test_evaluate_post_processing_branches(trainer, tmp_path):
+    """Integration coverage for the recoloring evaluate's post-processing
+    glue (VERDICT r2 weak #2 / next #3): the BGU-upscale, pyramid-upscale,
+    PIL-downscale and MKL-post-recoloring branches
+    (rehisto_trainer.py evaluate; reference ReHistoGAN/rehistoGAN.py:1139-1165)
+    each drive `generated[0]` through the real file round-trip.
+
+    save_image_grid uses the torchvision layout (2px padding), so a
+    single S-px image lands as an (S+4)-px file."""
+    rng = np.random.RandomState(5)
+    big = (rng.rand(96, 96, 3) * 255).astype(np.uint8)
+    big_path = tmp_path / "big.png"
+    Image.fromarray(big).save(big_path)
+
+    img = np.asarray(
+        Image.open(big_path).resize((64, 64)), np.float32)[None] / 255.0
+    hist = np.asarray(
+        trainer.pool.sample_interpolated(np.random.default_rng(0), 1),
+        np.float32)
+    out_dir = trainer.results_dir / "smoke_re"
+
+    # no post-processing: the plain 64px grid (64 + 2*2 padding)
+    trainer.evaluate(num=900, image_batch=img, hist_batch=hist,
+                     save_input=False)
+    assert Image.open(out_dir / "900-generated.jpg").size == (68, 68)
+
+    # upscaling via BGU: output replaced by the reference-resolution image
+    trainer.evaluate(num=901, image_batch=img, hist_batch=hist,
+                     resizing="upscaling", resizing_method="BGU",
+                     input_image_name=str(big_path), save_input=False)
+    g = Image.open(out_dir / "901-generated.jpg")
+    assert g.size == (100, 100)  # 96 + padding
+    assert np.asarray(g).std() > 0  # finite, non-degenerate content
+
+    # upscaling via pyramid (with level blending)
+    trainer.evaluate(num=902, image_batch=img, hist_batch=hist,
+                     resizing="upscaling", resizing_method="pyramid",
+                     pyramid_levels=3, swapping_levels=1, level_blending=True,
+                     input_image_name=str(big_path), save_input=False)
+    g = Image.open(out_dir / "902-generated.jpg")
+    assert g.size == (100, 100)
+    assert np.asarray(g).std() > 0
+
+    # downscaling: the saved grid is PIL-resized to the original size
+    trainer.evaluate(num=903, image_batch=img, hist_batch=hist,
+                     resizing="downscaling", original_size=[32, 48],
+                     save_input=False)
+    assert Image.open(out_dir / "903-generated.jpg").size == (32, 48)
+
+    # MKL post-recoloring: original-resolution color transfer
+    orig = np.asarray(big, np.float32) / 255.0
+    trainer.evaluate(num=904, image_batch=img, hist_batch=hist,
+                     post_recoloring=True, original_image=orig,
+                     save_input=False)
+    g = Image.open(out_dir / "904-generated.jpg")
+    assert g.size == (100, 100)
+    assert np.asarray(g).std() > 0
