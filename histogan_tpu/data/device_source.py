@@ -35,12 +35,35 @@ from histogan_tpu.parallel import batch_spec, replicate
 
 
 # HBM budget for the auto mode (images + pool); the flagship model /
-# optimizer / activations need the rest of the chip's 16 GB
+# optimizer / activations need the rest of the chip's 16 GB. The budget
+# is PER DEVICE: a replicated cache must fit it outright, a sharded
+# cache (shard_cache=True, 1/n of the rows per device) must fit it
+# after division by the mesh size — an 8-chip slice holds 8x the data.
 DEVICE_DATASET_BUDGET = 2 << 30
 
 
+def device_dataset_mode(flag, dataset, pool, mesh,
+                        dataset_aug_prob: float = 0.0):
+    """Resolve the device-dataset flag to a cache placement:
+    ``None`` (stream from host) | ``"replicated"`` | ``"sharded"``.
+
+    Auto policy: replicate when the whole cache fits one device's budget
+    (no per-step communication), shard across the mesh when it only
+    fits collectively (VERDICT r2 #8 — the replicated design capped the
+    dataset at 2 GiB regardless of mesh size)."""
+    use = should_use_device_dataset(flag, dataset, pool, dataset_aug_prob,
+                                    _budget_scale=mesh.shape["data"])
+    if not use:
+        return None
+    nbytes = dataset._cache.nbytes + pool.pool.nbytes
+    if nbytes <= DEVICE_DATASET_BUDGET:
+        return "replicated"
+    return "sharded"
+
+
 def should_use_device_dataset(flag, dataset, pool,
-                              dataset_aug_prob: float = 0.0) -> bool:
+                              dataset_aug_prob: float = 0.0,
+                              _budget_scale: int = 1) -> bool:
     """Resolve the Trainer's device_dataset flag ("auto" | True | False).
 
     Eligible iff the decoded uint8 cache exists (cache_dir was set),
@@ -70,7 +93,8 @@ def should_use_device_dataset(flag, dataset, pool,
     eligible = (
         cache is not None
         and dataset_aug_prob == 0.0
-        and cache.nbytes + pool.pool.nbytes <= DEVICE_DATASET_BUDGET
+        and (cache.nbytes + pool.pool.nbytes
+             <= DEVICE_DATASET_BUDGET * _budget_scale)
     )
     if flag == "auto":
         return eligible
@@ -118,7 +142,8 @@ class DeviceDataSource:
 
     def __init__(self, images: np.ndarray, pool: np.ndarray, mesh,
                  batch_size: int, accum: int, seed: int = 0,
-                 self_hist: bool = False, include_g_images: bool = False):
+                 self_hist: bool = False, include_g_images: bool = False,
+                 shard_cache: bool = False):
         assert images.dtype == np.uint8, "expects the decoded uint8 cache"
         n_dev = mesh.shape["data"]
         if batch_size % n_dev != 0:
@@ -137,9 +162,32 @@ class DeviceDataSource:
         self.self_hist = self_hist
         self.include_g_images = include_g_images
         self._rng = np.random.default_rng(seed)
-        # one-time H2D push, replicated over the data mesh
-        self._images = replicate(jnp.asarray(images), mesh)
-        self._pool = replicate(jnp.asarray(pool, jnp.float32), mesh)
+        if shard_cache:
+            # each device holds 1/n of the rows (budget scales with the
+            # mesh); the jitted gather below reads across shards and
+            # XLA's SPMD partitioner inserts the collective — indices
+            # stay global, so the sampling distribution is IDENTICAL to
+            # the replicated mode (pinned by tests/test_data.py). Rows
+            # are zero-padded to a multiple of n; padding is never drawn
+            # (self.n keeps the true count).
+            import jax.sharding as shd
+
+            n_dev = mesh.shape["data"]
+            pad = (-images.shape[0]) % n_dev
+            if pad:
+                images = np.concatenate(
+                    [images, np.zeros((pad, *images.shape[1:]), images.dtype)])
+                pool = np.concatenate(
+                    [pool, np.zeros((pad, *pool.shape[1:]), pool.dtype)])
+            row_sharded = shd.NamedSharding(
+                mesh, shd.PartitionSpec("data"))
+            self._images = jax.device_put(jnp.asarray(images), row_sharded)
+            self._pool = jax.device_put(
+                jnp.asarray(pool, jnp.float32), row_sharded)
+        else:
+            # one-time H2D push, replicated over the data mesh
+            self._images = replicate(jnp.asarray(images), mesh)
+            self._pool = replicate(jnp.asarray(pool, jnp.float32), mesh)
 
         a, b = accum, batch_size
         # outputs land batch-axis-sharded over the mesh directly (the

@@ -187,18 +187,21 @@ class RecoloringTrainer:
             cache_dir=str(self.store.dir),
         )
         from histogan_tpu.data.device_source import (
-            DeviceDataSource, should_use_device_dataset,
+            DeviceDataSource, device_dataset_mode,
         )
 
         # pass the DATASET's own aug_prob (not a config lookup) so the
         # eligibility check can never drift from how the dataset was
         # actually constructed (ADVICE r2)
-        if should_use_device_dataset(self.device_dataset, self.dataset,
-                                     self.pool, self.dataset.aug_prob):
+        mode = device_dataset_mode(self.device_dataset, self.dataset,
+                                   self.pool, self.mesh,
+                                   self.dataset.aug_prob)
+        if mode:
             self.loader = DeviceDataSource(
                 np.asarray(self.dataset._cache), self.pool.pool, self.mesh,
                 cfg.batch_size, cfg.gradient_accumulate_every, seed=11,
                 self_hist=not sampling, include_g_images=True,
+                shard_cache=(mode == "sharded"),
             )
         else:
             self.loader = TrainLoader(

@@ -201,11 +201,13 @@ class Trainer:
             cache_dir=str(self.store.dir),
         )
         from histogan_tpu.data.device_source import (
-            DeviceDataSource, should_use_device_dataset,
+            DeviceDataSource, device_dataset_mode,
         )
 
-        if should_use_device_dataset(self.device_dataset, self.dataset,
-                                     self.pool, self.dataset.aug_prob):
+        mode = device_dataset_mode(self.device_dataset, self.dataset,
+                                   self.pool, self.mesh,
+                                   self.dataset.aug_prob)
+        if mode:
             # fixed seed on EVERY process: the device source samples the
             # GLOBAL batch (the jitted gather spans the whole mesh), so
             # all hosts must draw identical indices — unlike TrainLoader,
@@ -213,6 +215,7 @@ class Trainer:
             self.loader = DeviceDataSource(
                 np.asarray(self.dataset._cache), self.pool.pool, self.mesh,
                 cfg.batch_size, cfg.gradient_accumulate_every, seed=7,
+                shard_cache=(mode == "sharded"),
             )
         else:
             self.loader = TrainLoader(

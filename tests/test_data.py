@@ -242,3 +242,76 @@ def test_device_dataset_source(tmp_path):
             + (1 - r[:, None, None, None]) * pool.pool[pair[1]])
     np.testing.assert_allclose(
         np.asarray(b["d_hists"]).reshape(8, 3, 16, 16), want, atol=1e-6)
+
+
+def test_sharded_device_dataset_matches_replicated(tmp_path):
+    """shard_cache=True holds 1/n of the cache per device (budget scales
+    with the mesh, VERDICT r2 #8) and must yield BIT-IDENTICAL batches
+    to the replicated mode — global indices, same rng stream; row count
+    deliberately NOT divisible by the mesh (exercises the padding)."""
+    import jax
+    import jax.numpy as jnp
+
+    from histogan_tpu.data.dataset import HistogramPool, ImageFolderDataset
+    from histogan_tpu.data.device_source import DeviceDataSource
+    from histogan_tpu.parallel import make_mesh
+
+    root = tmp_path / "imgs"
+    root.mkdir()
+    rng0 = np.random.RandomState(21)
+    for i in range(6):  # 6 rows on a 4-device mesh -> pad 2
+        Image.fromarray((rng0.rand(40, 40, 3) * 255).astype(np.uint8)).save(
+            root / f"{i}.jpg")
+    ds = ImageFolderDataset(str(root), 32, cache_dir=str(tmp_path / "c"))
+    pool = HistogramPool(ds.paths, hist_bin=16, cache_dir=str(tmp_path / "c"))
+
+    mesh = make_mesh(4)
+    kw = dict(batch_size=4, accum=2, seed=5, include_g_images=True)
+    rep = DeviceDataSource(np.asarray(ds._cache), pool.pool, mesh, **kw)
+    shd = DeviceDataSource(np.asarray(ds._cache), pool.pool, mesh,
+                           shard_cache=True, **kw)
+
+    # the cache really is row-sharded over the mesh
+    spec = shd._images.sharding.spec
+    assert tuple(spec)[0] == "data"
+    assert rep._images.sharding.is_fully_replicated
+
+    for _ in range(3):
+        br, bs = next(rep), next(shd)
+        assert set(br) == set(bs)
+        for k in br:
+            np.testing.assert_array_equal(np.asarray(br[k]),
+                                          np.asarray(bs[k]), err_msg=k)
+            # outputs stay batch-sharded in both modes
+            assert "data" in str(bs[k].sharding.spec)
+
+
+def test_device_dataset_mode_budget_scales_with_mesh(tmp_path, monkeypatch):
+    """Auto placement: replicate when the cache fits one device, shard
+    when it only fits collectively, stream when it fits neither."""
+    from histogan_tpu.data import device_source as dsrc
+    from histogan_tpu.data.dataset import HistogramPool, ImageFolderDataset
+    from histogan_tpu.parallel import make_mesh
+
+    root = tmp_path / "imgs"
+    root.mkdir()
+    rng0 = np.random.RandomState(2)
+    for i in range(8):
+        Image.fromarray((rng0.rand(40, 40, 3) * 255).astype(np.uint8)).save(
+            root / f"{i}.jpg")
+    ds = ImageFolderDataset(str(root), 32, cache_dir=str(tmp_path / "c"))
+    pool = HistogramPool(ds.paths, hist_bin=16, cache_dir=str(tmp_path / "c"))
+    nbytes = ds._cache.nbytes + pool.pool.nbytes
+    mesh = make_mesh(4)
+
+    monkeypatch.setattr(dsrc, "DEVICE_DATASET_BUDGET", nbytes + 1)
+    assert dsrc.device_dataset_mode("auto", ds, pool, mesh) == "replicated"
+    # fits only across 4 devices -> sharded
+    monkeypatch.setattr(dsrc, "DEVICE_DATASET_BUDGET", nbytes // 4 + 1)
+    assert dsrc.device_dataset_mode("auto", ds, pool, mesh) == "sharded"
+    # fits nowhere -> stream
+    monkeypatch.setattr(dsrc, "DEVICE_DATASET_BUDGET", nbytes // 8)
+    assert dsrc.device_dataset_mode("auto", ds, pool, mesh) is None
+    # explicit True with no room still raises (existing contract)
+    with pytest.raises(ValueError):
+        dsrc.device_dataset_mode(True, ds, pool, mesh)
