@@ -205,11 +205,48 @@ class DeviceDataSource:
         def self_hists(pool, idx):
             return pool[idx].reshape(a, b, *pool.shape[1:])
 
+        # key layout of the packed upload (below): draw ORDER matches
+        # _draws exactly; offsets are trace-time constants
+        n_items = accum * batch_size
+        self._int_layout, self._float_layout = [], []
+
+        def _lay(layout, key, size):
+            off = sum(s for _, s in layout)
+            layout.append((key, size))
+            return off
+
+        _lay(self._int_layout, "d_idx", n_items)
+        if not self_hist:
+            _lay(self._int_layout, "d_pair", 2 * n_items)
+            _lay(self._float_layout, "d_r", n_items)
+        if include_g_images:
+            _lay(self._int_layout, "g_idx", n_items)
+            if not self_hist:
+                _lay(self._int_layout, "g_pair", 2 * n_items)
+                _lay(self._float_layout, "g_r", n_items)
+        else:
+            _lay(self._int_layout, "g_pair", 2 * n_items)
+            _lay(self._float_layout, "g_r", n_items)
+
+        def unpack(ints, floats):
+            d, off = {}, 0
+            for k, size in self._int_layout:  # static offsets/sizes
+                v = ints[off:off + size]
+                d[k] = v.reshape(2, n_items) if k.endswith("pair") else v
+                off += size
+            off = 0
+            for k, size in self._float_layout:
+                d[k] = floats[off:off + size]
+                off += size
+            return d
+
         # ONE jitted dispatch builds the whole batch dict (self_hist /
-        # include_g_images are trace-time constants) — per-dispatch
-        # latency is the dominant cost on RPC-attached devices, and even
-        # locally one program beats 3-4
-        def make_batch(images, pool, draws):
+        # include_g_images are trace-time constants) from TWO packed
+        # uploads (one int, one float): per-transfer/dispatch latency is
+        # the dominant cost on RPC-attached devices, and even locally one
+        # program beats 3-4
+        def make_batch(images, pool, ints, floats):
+            draws = unpack(ints, floats)
             batch = {"d_images": gather_images(images, draws["d_idx"])}
             if self_hist:
                 batch["d_hists"] = self_hists(pool, draws["d_idx"])
@@ -258,8 +295,16 @@ class DeviceDataSource:
         return d
 
     def __next__(self) -> Dict[str, jnp.ndarray]:
-        draws = {k: jnp.asarray(v) for k, v in self._draws().items()}
-        return self._make_batch(self._images, self._pool, draws)
+        d = self._draws()
+        ints = np.concatenate(
+            [np.ravel(d[k]) for k, _ in self._int_layout]).astype(np.int32)
+        if self._float_layout:
+            floats = np.concatenate(
+                [d[k] for k, _ in self._float_layout]).astype(np.float32)
+        else:
+            floats = np.zeros((0,), np.float32)
+        return self._make_batch(self._images, self._pool,
+                                jnp.asarray(ints), jnp.asarray(floats))
 
     def __iter__(self):
         return self
