@@ -168,15 +168,14 @@ def make_rehisto_train_step(models: RecolorModels, g_tx, d_tx, cfg):
                    apply_gp: bool, alpha: float, beta: float, gamma: float):
         from histogan_tpu.train.steps import dequantize_batch
 
+        from histogan_tpu.train import steps as _steps_mod
+
         batch = dequantize_batch(batch)
         k_d, k_g = jax.random.split(key)
+        fast_accum = accum == 1 and not _steps_mod.FORCE_SCAN_ACCUM
 
         # ------------- D phase
-        zero_d = jax.tree_util.tree_map(jnp.zeros_like, state.params_d)
-
-        def d_iter(carry, inp):
-            grad_acc, vq_stats = carry
-            d_images, d_hists, k = inp
+        def d_one(vq_stats, d_images, d_hists, k):
             noise = jax.random.uniform(
                 k, (d_images.shape[0], cfg.image_size, cfg.image_size, 1)
             )
@@ -187,35 +186,59 @@ def make_rehisto_train_step(models: RecolorModels, g_tx, d_tx, cfg):
             (loss, (div, gp, qloss, vq_stats)), grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True
             )(state.params_d, vq_stats, fake, d_images, apply_gp)
-            grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
-            return (grad_acc, vq_stats), (div, gp, qloss)
+            return grads, vq_stats, (div, gp, qloss)
 
         d_keys = jax.random.split(k_d, accum)
-        (d_grads, vq_stats), (divs, gps, qlosses) = jax.lax.scan(
-            d_iter, (zero_d, state.vq_stats),
-            (batch["d_images"], batch["d_hists"], d_keys)
-        )
-        d_grads = jax.tree_util.tree_map(lambda g: g / accum, d_grads)
+        if fast_accum:
+            # accum==1: skip the scan's zeros init / carry
+            # materialization / (0+g)/1 plumbing (steps.FORCE_SCAN_ACCUM)
+            d_grads, vq_stats, (div, gp, qloss) = d_one(
+                state.vq_stats, batch["d_images"][0], batch["d_hists"][0],
+                d_keys[0])
+            divs, gps, qlosses = (x[None] for x in (div, gp, qloss))
+        else:
+            zero_d = jax.tree_util.tree_map(jnp.zeros_like, state.params_d)
+
+            def d_iter(carry, inp):
+                grad_acc, vq_stats = carry
+                grads, vq_stats, aux = d_one(vq_stats, *inp)
+                grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
+                return (grad_acc, vq_stats), aux
+
+            (d_grads, vq_stats), (divs, gps, qlosses) = jax.lax.scan(
+                d_iter, (zero_d, state.vq_stats),
+                (batch["d_images"], batch["d_hists"], d_keys)
+            )
+            d_grads = jax.tree_util.tree_map(lambda g: g / accum, d_grads)
         d_updates, opt_d = d_tx.update(d_grads, state.opt_d, state.params_d)
         params_d = jax.tree_util.tree_map(jnp.add, state.params_d, d_updates)
 
         # ------------- G phase
-        zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params_g)
-
-        def g_iter(grad_acc, inp):
-            g_images, g_hists, k = inp
+        def g_one(g_images, g_hists, k):
             (loss, aux), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
                 state.params_g, params_d, vq_stats, g_images, g_hists, k,
                 alpha, beta, gamma,
             )
-            grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
-            return grad_acc, aux
+            return grads, aux
 
         g_keys = jax.random.split(k_g, accum)
-        g_grads, (advs, hlosses, rlosses, vlosses) = jax.lax.scan(
-            g_iter, zero_g, (batch["g_images"], batch["g_hists"], g_keys)
-        )
-        g_grads = jax.tree_util.tree_map(lambda g: g / accum, g_grads)
+        if fast_accum:
+            g_grads, (adv, hloss, rloss, vloss) = g_one(
+                batch["g_images"][0], batch["g_hists"][0], g_keys[0])
+            advs, hlosses, rlosses, vlosses = (
+                x[None] for x in (adv, hloss, rloss, vloss))
+        else:
+            zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params_g)
+
+            def g_iter(grad_acc, inp):
+                grads, aux = g_one(*inp)
+                grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
+                return grad_acc, aux
+
+            g_grads, (advs, hlosses, rlosses, vlosses) = jax.lax.scan(
+                g_iter, zero_g, (batch["g_images"], batch["g_hists"], g_keys)
+            )
+            g_grads = jax.tree_util.tree_map(lambda g: g / accum, g_grads)
         if cfg.fixed_gan_weights:
             # only ED learns (rehistoGAN.py:671-676)
             g_grads = {

@@ -37,6 +37,17 @@ EPS = 1e-8  # histoGAN/histoGAN.py:53
 # by flipping this off). Module-level so tests can monkeypatch it.
 MERGE_D_FORWARD = True
 
+# With gradient_accumulate_every == 1 (the TPU flagship config — the
+# reference's batch_size 2 x accum 8 exists for GPU memory, not here)
+# the accumulation lax.scan lowers to a while-loop whose carry is the
+# FULL gradient tree: the zeros init, the loop-boundary carry
+# materialization and the (0+g)/1 plumbing are pure HBM traffic
+# (~0.76 GB params_g + 0.73 GB params_d per boundary). The accum==1
+# fast path calls the loss directly — mathematically identical
+# ((0+g)/1 == g; compiled fusion order differs at fp32 epsilon) — and
+# tests pin equality by forcing the scan with this flag.
+FORCE_SCAN_ACCUM = False
+
 
 class Models(NamedTuple):
     S: Any
@@ -275,11 +286,9 @@ def make_train_step(models: Models, g_tx, d_tx, cfg, split: bool = False):
         """D phase: scan over the accumulation axis, apply the D
         optimizer. Returns (params_d, opt_d, vq_stats, d_metrics)."""
         batch = dequantize_batch(batch)
-        zero_grads_d = jax.tree_util.tree_map(jnp.zeros_like, state.params_d)
 
-        def d_iter(carry, inp):
-            grad_acc, vq_stats = carry
-            d_images, d_hists, k = inp
+        def d_one(vq_stats, d_images, d_hists, k):
+            """One accumulation micro-step: grads + metrics."""
             k_gen, k_aug_f, k_aug_r = jax.random.split(k, 3)
             fake_images, _, _, _ = generate(
                 models, state.params_g, d_hists, k_gen, cfg
@@ -289,15 +298,31 @@ def make_train_step(models: Models, g_tx, d_tx, cfg, split: bool = False):
                 d_loss_fn, has_aux=True
             )(state.params_d, vq_stats, fake_images, d_images,
               (k_aug_f, k_aug_r), apply_gp)
-            grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
-            return (grad_acc, vq_stats), (div, qloss, gp)
+            return grads, vq_stats, (div, qloss, gp)
 
         d_keys = jax.random.split(k_d, accum)
-        (d_grads, vq_stats), (divs, qlosses, gps) = jax.lax.scan(
-            d_iter, (zero_grads_d, state.vq_stats),
-            (batch["d_images"], batch["d_hists"], d_keys),
-        )
-        d_grads = jax.tree_util.tree_map(lambda g: g / accum, d_grads)
+        if accum == 1 and not FORCE_SCAN_ACCUM:
+            # fast path: no zeros init, no loop-carry materialization,
+            # no (0+g)/1 plumbing (see FORCE_SCAN_ACCUM note)
+            d_grads, vq_stats, (div, qloss, gp) = d_one(
+                state.vq_stats, batch["d_images"][0], batch["d_hists"][0],
+                d_keys[0])
+            divs, qlosses, gps = (x[None] for x in (div, qloss, gp))
+        else:
+            zero_grads_d = jax.tree_util.tree_map(jnp.zeros_like,
+                                                  state.params_d)
+
+            def d_iter(carry, inp):
+                grad_acc, vq_stats = carry
+                grads, vq_stats, aux = d_one(vq_stats, *inp)
+                grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
+                return (grad_acc, vq_stats), aux
+
+            (d_grads, vq_stats), (divs, qlosses, gps) = jax.lax.scan(
+                d_iter, (zero_grads_d, state.vq_stats),
+                (batch["d_images"], batch["d_hists"], d_keys),
+            )
+            d_grads = jax.tree_util.tree_map(lambda g: g / accum, d_grads)
         d_updates, opt_d = d_tx.update(d_grads, state.opt_d, state.params_d)
         params_d = jax.tree_util.tree_map(jnp.add, state.params_d, d_updates)
         d_metrics = {
@@ -313,25 +338,35 @@ def make_train_step(models: Models, g_tx, d_tx, cfg, split: bool = False):
         """G phase against the freshly-updated D, then the moving
         averages; assembles the new state and the full metrics dict."""
         batch = dequantize_batch(batch)
-        zero_grads_g = jax.tree_util.tree_map(jnp.zeros_like, state.params_g)
 
-        def g_iter(carry, inp):
-            grad_acc, vq_stats, _ = carry
-            g_hists, k = inp
+        def g_one(vq_stats, g_hists, k):
             ks = jax.random.split(k, 3)
             (loss, (adv, hloss, avg_pl, vq_stats)), grads = jax.value_and_grad(
                 g_loss_fn, has_aux=True
             )(state.params_g, params_d, vq_stats, g_hists, state.pl_mean,
               tuple(ks), apply_pl)
-            grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
-            return (grad_acc, vq_stats, avg_pl), (adv, hloss)
+            return grads, vq_stats, avg_pl, (adv, hloss)
 
         g_keys = jax.random.split(k_g, accum)
-        (g_grads, vq_stats, avg_pl), (advs, hlosses) = jax.lax.scan(
-            g_iter, (zero_grads_g, vq_stats, jnp.zeros(())),
-            (batch["g_hists"], g_keys),
-        )
-        g_grads = jax.tree_util.tree_map(lambda g: g / accum, g_grads)
+        if accum == 1 and not FORCE_SCAN_ACCUM:
+            g_grads, vq_stats, avg_pl, (adv, hloss) = g_one(
+                vq_stats, batch["g_hists"][0], g_keys[0])
+            advs, hlosses = adv[None], hloss[None]
+        else:
+            zero_grads_g = jax.tree_util.tree_map(jnp.zeros_like,
+                                                  state.params_g)
+
+            def g_iter(carry, inp):
+                grad_acc, vq_stats, _ = carry
+                grads, vq_stats, avg_pl, aux = g_one(vq_stats, *inp)
+                grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
+                return (grad_acc, vq_stats, avg_pl), aux
+
+            (g_grads, vq_stats, avg_pl), (advs, hlosses) = jax.lax.scan(
+                g_iter, (zero_grads_g, vq_stats, jnp.zeros(())),
+                (batch["g_hists"], g_keys),
+            )
+            g_grads = jax.tree_util.tree_map(lambda g: g / accum, g_grads)
         g_updates, opt_g = g_tx.update(g_grads, state.opt_g, state.params_g)
         params_g = jax.tree_util.tree_map(jnp.add, state.params_g, g_updates)
 

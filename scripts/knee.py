@@ -1,0 +1,179 @@
+"""Batch-size knee of the train step with clean memory hygiene.
+
+One batch size per section, state freed + gc'd between sections (the
+first roofline run leaked ~3.4 GB HistoGANState copies per variant and
+hit RESOURCE_EXHAUSTED from b32+pl onward). Sections are independent:
+an OOM in one (a genuinely too-big variant) doesn't kill the rest.
+
+Usage: python -u scripts/knee.py [b1 b2 ...]   (default: 64 128 32)
+"""
+
+import gc
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+SUSTAINED_TFLOPS = 145.8
+HBM_GBPS = 819.0
+GIB = float(2 ** 30)
+
+
+def run_batch(batch_size: int, variants, schedule_steps: int = 32):
+    from histogan_tpu.models import (
+        Discriminator, Generator, HistVectorizer, StyleVectorizer,
+    )
+    from histogan_tpu.optim import diffgrad
+    from histogan_tpu.parallel import make_mesh, replicate, shard_batch
+    from histogan_tpu.train.state import HistoGANState
+    from histogan_tpu.train.steps import Models, make_train_step
+    from histogan_tpu.utils.config import HistoGANConfig
+
+    cfg = HistoGANConfig(image_size=256, network_capacity=16,
+                         batch_size=batch_size, gradient_accumulate_every=1,
+                         precision="bf16")
+    mesh = make_mesh()
+    S = StyleVectorizer(cfg.latent_dim, cfg.style_depth)
+    H = HistVectorizer(cfg.hist_bin, cfg.latent_dim, cfg.style_depth)
+    G = Generator(cfg.image_size, cfg.latent_dim, cfg.network_capacity)
+    D = Discriminator(cfg.image_size, cfg.network_capacity)
+    models = Models(S, H, G, D)
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 5)
+    nl = cfg.num_layers
+    # host-side parameter template; device state is built fresh per
+    # variant and EXPLICITLY dropped afterwards
+    params_g = jax.device_get({
+        "S": S.init(ks[0], jnp.zeros((1, cfg.latent_dim)))["params"],
+        "H": H.init(ks[1], jnp.zeros((1, 3, cfg.hist_bin, cfg.hist_bin)))["params"],
+        "G": G.init(
+            ks[2],
+            jnp.zeros((1, nl - 2, cfg.latent_dim)),
+            jnp.zeros((1, 2, cfg.latent_dim)),
+            jnp.zeros((1, cfg.image_size, cfg.image_size, 1)),
+        )["params"],
+    })
+    params_d = jax.device_get(
+        D.init(ks[3], jnp.zeros((1, cfg.image_size, cfg.image_size, 3)))["params"])
+    g_tx = diffgrad(cfg.learning_rate, 0.5, 0.9)
+    d_tx = diffgrad(cfg.learning_rate, 0.5, 0.9)
+
+    def fresh_state():
+        z3 = lambda t: jax.tree_util.tree_map(np.zeros_like, t)
+        from histogan_tpu.optim.diffgrad import DiffGradState
+
+        mk_opt = lambda p: DiffGradState(
+            count=np.zeros((), np.int32), exp_avg=z3(p),
+            exp_avg_sq=z3(p), previous_grad=z3(p))
+        return replicate(HistoGANState(
+            step=np.zeros((), np.int32), params_g=params_g, params_d=params_d,
+            ema=params_g,
+            opt_g=mk_opt(params_g), opt_d=mk_opt(params_d),
+            pl_mean=np.zeros(()),
+        ), mesh)
+
+    # opt state structure must match tx.init exactly — verify on host
+    tpl = jax.tree_util.tree_structure(jax.eval_shape(g_tx.init, params_g))
+    got = jax.tree_util.tree_structure(fresh_state().opt_g)
+    if tpl != got:
+        raise RuntimeError(f"opt state template mismatch: {tpl} vs {got}")
+
+    rng = np.random.default_rng(0)
+    a, b = 1, batch_size
+    norm = lambda h: h / h.sum((2, 3, 4), keepdims=True)
+    batch = shard_batch({
+        "d_images": rng.random((a, b, 256, 256, 3), np.float32),
+        "d_hists": norm(rng.random((a, b, 3, 64, 64), np.float32)),
+        "g_hists": norm(rng.random((a, b, 3, 64, 64), np.float32)),
+    }, mesh, batch_axis=1)
+    step = make_train_step(models, g_tx, d_tx, cfg)
+
+    results = {}
+    for label, gp, pl in variants:
+        state = None
+        try:
+            lowered = step.lower(fresh_state(), batch, ks[4],
+                                 apply_gp=gp, apply_pl=pl)
+            c = lowered.compile().cost_analysis()
+            c = c[0] if isinstance(c, (list, tuple)) else c
+            flops, nbytes = float(c.get("flops", 0)), float(c.get("bytes accessed", 0))
+            del lowered
+            gc.collect()
+            state = fresh_state()
+            state, m = step(state, batch, ks[4], apply_gp=gp, apply_pl=pl)
+            float(m["d_loss"])
+            t0 = time.perf_counter()
+            for i in range(8):
+                state, m = step(state, batch, jax.random.fold_in(key, i),
+                                apply_gp=gp, apply_pl=pl)
+            float(m["d_loss"])
+            dt = (time.perf_counter() - t0) / 8
+            t_b = nbytes / (HBM_GBPS * 1e9)
+            print(f"b{batch_size} {label:<10} {dt*1e3:8.2f} ms  "
+                  f"{b/dt:7.1f} imgs/s  {flops/1e9:8.1f} GF  "
+                  f"{nbytes/GIB:6.2f} GiB  minB={t_b*1e3:6.2f}ms  "
+                  f"eff={t_b/dt*100:5.1f}%", flush=True)
+            results[label] = dt
+        except Exception as e:  # noqa: BLE001
+            print(f"b{batch_size} {label:<10} FAILED {type(e).__name__}: {e}"[:170],
+                  flush=True)
+        finally:
+            del state
+            gc.collect()
+
+    # full-schedule throughput if every needed variant compiled
+    if all(k in results for k in ("plain", "+gp", "+gp+pl")):
+        state = fresh_state()
+        flags = lambda i: dict(apply_gp=i % 4 == 0, apply_pl=i % 32 == 0,
+                               apply_ema=i % 10 == 0)
+        try:
+            for i in (0, 1, 4, 10):
+                state, m = step(state, batch, jax.random.fold_in(key, i),
+                                **flags(i))
+                float(m["d_loss"])
+            n = schedule_steps
+            t0 = time.perf_counter()
+            for i in range(n):
+                state, m = step(state, batch, jax.random.fold_in(key, 99 + i),
+                                **flags(i))
+            float(m["d_loss"])
+            dt = time.perf_counter() - t0
+            print(f"b{batch_size} FULL SCHEDULE: {n*b/dt:7.1f} imgs/s "
+                  f"({dt/n*1e3:.1f} ms/step)", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"b{batch_size} schedule FAILED: {e}"[:170], flush=True)
+        finally:
+            del state
+            gc.collect()
+
+
+def main():
+    sizes = [int(x) for x in sys.argv[1:]] or [64, 128, 32]
+    print("devices:", jax.devices(), flush=True)
+    variants = [("plain", False, False), ("+gp", True, False),
+                ("+pl", False, True), ("+gp+pl", True, True)]
+    for bs in sizes:
+        print(f"\n==== batch {bs} ====", flush=True)
+        try:
+            run_batch(bs, variants)
+        except Exception as e:  # noqa: BLE001
+            print(f"batch {bs} section failed: {type(e).__name__}: {e}"[:170],
+                  flush=True)
+        gc.collect()
+
+
+if __name__ == "__main__":
+    main()

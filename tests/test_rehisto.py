@@ -315,3 +315,106 @@ def test_evaluate_post_processing_branches(trainer, tmp_path):
     g = Image.open(out_dir / "904-generated.jpg")
     assert g.size == (100, 100)
     assert np.asarray(g).std() > 0
+
+
+def test_rehisto_accum1_fast_path_equals_scan(tmp_path_factory):
+    """ReHistoGAN accum==1 fast path (no accumulation scan) equals the
+    forced-scan path to fp32 tolerance — one step, same fresh state."""
+    import jax
+    import jax.numpy as jnp
+
+    from histogan_tpu.models import (
+        Discriminator, HistVectorizer, RecoloringEncoderDecoder,
+        RecoloringGAN,
+    )
+    from histogan_tpu.optim import diffgrad
+    from histogan_tpu.parallel import make_mesh, replicate, shard_batch
+    from histogan_tpu.train import steps as steps_mod
+    from histogan_tpu.train.rehisto_steps import (
+        RecolorModels, make_rehisto_train_step,
+    )
+    from histogan_tpu.train.state import ReHistoGANState
+    from histogan_tpu.utils.config import ReHistoGANConfig
+
+    cfg = ReHistoGANConfig(
+        image_size=32, network_capacity=4, latent_dim=32, style_depth=2,
+        hist_bin=16, batch_size=2, gradient_accumulate_every=1,
+        skip_conn_to_GAN=True, variance_loss=True,
+    )
+    mesh = make_mesh(2)
+    ED = RecoloringEncoderDecoder(cfg.image_size, cfg.network_capacity,
+                                  cfg.hist_bin, cfg.latent_dim,
+                                  cfg.style_depth, cfg.skip_conn_to_GAN)
+    H = HistVectorizer(cfg.hist_bin, cfg.latent_dim, cfg.style_depth)
+    G = RecoloringGAN(cfg.image_size, cfg.latent_dim, cfg.network_capacity)
+    D = Discriminator(cfg.image_size, cfg.network_capacity)
+    models = RecolorModels(ED, H, G, D)
+    key = jax.random.PRNGKey(5)
+    ks = jax.random.split(key, 5)
+    img = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+    hist = jnp.zeros((1, 3, cfg.hist_bin, cfg.hist_bin))
+    ed_vars = ED.init(ks[0], img, hist)
+    latent, rgb, pl1, pl2 = ED.apply(ed_vars, img, hist)
+    params_g = {
+        "ED": ed_vars["params"],
+        "H": H.init(ks[1], hist)["params"],
+        "G": G.init(ks[2], latent, rgb, jnp.zeros((1, cfg.latent_dim)),
+                    jnp.zeros((1, cfg.image_size, cfg.image_size, 1)),
+                    pl1, pl2)["params"],
+    }
+    params_d = D.init(ks[3], img)["params"]
+    g_tx = diffgrad(cfg.learning_rate, 0.5, 0.9)
+    d_tx = diffgrad(cfg.learning_rate, 0.5, 0.9)
+
+    def fresh_state():
+        return replicate(ReHistoGANState(
+            step=jnp.zeros((), jnp.int32),
+            params_g=jax.device_get(params_g),
+            params_d=jax.device_get(params_d),
+            opt_g=jax.device_get(g_tx.init(params_g)),
+            opt_d=jax.device_get(d_tx.init(params_d)),
+        ), mesh)
+
+    rng = np.random.RandomState(2)
+    norm = lambda h: h / h.sum((2, 3, 4), keepdims=True)
+    batch = shard_batch({
+        "d_images": rng.rand(1, 2, 32, 32, 3).astype(np.float32),
+        "d_hists": norm(rng.rand(1, 2, 3, 16, 16).astype(np.float32)),
+        "g_images": rng.rand(1, 2, 32, 32, 3).astype(np.float32),
+        "g_hists": norm(rng.rand(1, 2, 3, 16, 16).astype(np.float32)),
+    }, mesh, batch_axis=1)
+
+    def run_one(force_scan, gp):
+        steps_mod.FORCE_SCAN_ACCUM = force_scan
+        try:
+            step = make_rehisto_train_step(models, g_tx, d_tx, cfg)
+            s, m = step(fresh_state(), batch, ks[4], apply_gp=gp,
+                        alpha=32.0, beta=1.5, gamma=4.0)
+            return jax.device_get(s), {k: np.asarray(v) for k, v in m.items()}
+        finally:
+            steps_mod.FORCE_SCAN_ACCUM = False
+
+    # first-order variant: tight state equality (fusion-order epsilon)
+    s_fast, m_fast = run_one(False, gp=False)
+    s_scan, m_scan = run_one(True, gp=False)
+    for k in m_fast:
+        np.testing.assert_allclose(m_fast[k], m_scan[k], rtol=2e-5,
+                                   atol=1e-5, err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(s_fast),
+                    jax.tree_util.tree_leaves(s_scan)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        scale = max(float(np.max(np.abs(b))), 1e-6)
+        # DiffGrad's first update is sign-sensitive at g~0 (upd ~
+        # +/-0.79*lr*sign(g)), so epsilon-level gradient differences
+        # legally produce ~lr-sized jumps on isolated entries; anything
+        # structural would violate the lr bound everywhere
+        tol = max(1e-4 * scale, 2.5 * cfg.learning_rate)
+        assert float(np.max(np.abs(a - b))) <= tol
+
+    # second-order (GP) variant amplifies the epsilon: metrics-level
+    # agreement is the meaningful check there
+    _, m_fast_gp = run_one(False, gp=True)
+    _, m_scan_gp = run_one(True, gp=True)
+    for k in m_fast_gp:
+        np.testing.assert_allclose(m_fast_gp[k], m_scan_gp[k], rtol=1e-4,
+                                   atol=1e-4, err_msg=f"{k} (gp)")

@@ -289,3 +289,96 @@ def test_split_step_equals_fused():
     for pf, ps in zip(jax.tree_util.tree_leaves(jax.device_get(sf)),
                       jax.tree_util.tree_leaves(jax.device_get(ss))):
         np.testing.assert_array_equal(pf, ps)
+
+
+def test_accum1_fast_path_equals_scan():
+    """accum==1 skips the accumulation scan (a while-loop whose carry is
+    the full gradient tree — pure HBM traffic); must equal the forced
+    scan path exactly, for BOTH step families."""
+    import jax
+    import jax.numpy as jnp
+
+    from histogan_tpu.models import (
+        Discriminator, Generator, HistVectorizer, StyleVectorizer,
+    )
+    from histogan_tpu.optim import diffgrad
+    from histogan_tpu.parallel import make_mesh, replicate, shard_batch
+    from histogan_tpu.train import steps as steps_mod
+    from histogan_tpu.train.state import HistoGANState
+    from histogan_tpu.train.steps import Models, make_train_step
+    from histogan_tpu.utils.config import HistoGANConfig
+
+    cfg = HistoGANConfig(
+        image_size=32, network_capacity=4, latent_dim=32, style_depth=2,
+        hist_bin=16, batch_size=2, gradient_accumulate_every=1,
+    )
+    mesh = make_mesh(2)
+    S = StyleVectorizer(cfg.latent_dim, cfg.style_depth)
+    H = HistVectorizer(cfg.hist_bin, cfg.latent_dim, cfg.style_depth)
+    G = Generator(cfg.image_size, cfg.latent_dim, cfg.network_capacity)
+    D = Discriminator(cfg.image_size, cfg.network_capacity)
+    models = Models(S, H, G, D)
+    key = jax.random.PRNGKey(9)
+    ks = jax.random.split(key, 4)
+    nl = cfg.num_layers
+    params_g = {
+        "S": S.init(ks[0], jnp.zeros((1, cfg.latent_dim)))["params"],
+        "H": H.init(ks[1], jnp.zeros((1, 3, cfg.hist_bin, cfg.hist_bin)))["params"],
+        "G": G.init(ks[2], jnp.zeros((1, nl - 2, cfg.latent_dim)),
+                    jnp.zeros((1, 2, cfg.latent_dim)),
+                    jnp.zeros((1, cfg.image_size, cfg.image_size, 1)))["params"],
+    }
+    params_d = D.init(ks[3], jnp.zeros((1, cfg.image_size, cfg.image_size, 3)))["params"]
+    g_tx = diffgrad(cfg.learning_rate, 0.5, 0.9)
+    d_tx = diffgrad(cfg.learning_rate, 0.5, 0.9)
+
+    def fresh_state():
+        return replicate(HistoGANState(
+            step=jnp.zeros((), jnp.int32),
+            params_g=jax.device_get(params_g), params_d=jax.device_get(params_d),
+            ema=jax.tree_util.tree_map(np.copy, jax.device_get(params_g)),
+            opt_g=jax.device_get(g_tx.init(params_g)),
+            opt_d=jax.device_get(d_tx.init(params_d)),
+            pl_mean=jnp.zeros(()),
+        ), mesh)
+
+    rng = np.random.RandomState(1)
+    norm = lambda h: h / h.sum((2, 3, 4), keepdims=True)
+    batch = shard_batch({
+        "d_images": rng.rand(1, 2, 32, 32, 3).astype(np.float32),
+        "d_hists": norm(rng.rand(1, 2, 3, 16, 16).astype(np.float32)),
+        "g_hists": norm(rng.rand(1, 2, 3, 16, 16).astype(np.float32)),
+    }, mesh, batch_axis=1)
+
+    def run_one(force_scan, gp, pl):
+        """ONE step from the same fresh state — no trajectory
+        compounding (any epsilon diverges chaotically over steps)."""
+        steps_mod.FORCE_SCAN_ACCUM = force_scan
+        try:
+            step = make_train_step(models, g_tx, d_tx, cfg)
+            s, m = step(fresh_state(), batch, jax.random.fold_in(key, 3),
+                        apply_gp=gp, apply_pl=pl)
+            return jax.device_get(s), {k: np.asarray(v) for k, v in m.items()}
+        finally:
+            steps_mod.FORCE_SCAN_ACCUM = False
+
+    # the math is identical ((0+g)/1 == g); XLA fuses the while-loop body
+    # differently than inline code, so reductions differ at fp32 epsilon
+    # (amplified by the second-order GP term)
+    for gp, pl in [(True, True), (False, False)]:
+        s_fast, m_fast = run_one(False, gp, pl)
+        s_scan, m_scan = run_one(True, gp, pl)
+        for k in m_fast:
+            np.testing.assert_allclose(m_fast[k], m_scan[k], rtol=2e-5,
+                                       atol=1e-6, err_msg=f"{k} gp={gp}")
+        for a, b in zip(jax.tree_util.tree_leaves(s_fast),
+                        jax.tree_util.tree_leaves(s_scan)):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            scale = max(float(np.max(np.abs(b))), 1e-6)
+            # DiffGrad's first update is sign-sensitive at g~0 (upd ~
+            # +/-0.79*lr*sign(g)): epsilon gradient differences legally
+            # make ~lr-sized jumps on isolated entries
+            tol = max(1e-4 * scale, 2.5 * cfg.learning_rate)
+            assert float(np.max(np.abs(a - b))) <= tol, (
+                f"leaf mismatch gp={gp}: max|d|={np.max(np.abs(a-b))}, "
+                f"scale={scale}")
