@@ -41,7 +41,10 @@ def main():
         network_capacity=16, batch_size=8, gradient_accumulate_every=1,
         save_every=max(100, steps), precision="bf16", seed=0,
         sync_every=25, calculate_fid_every=max(100, steps // 4),
-        fid_num_samples=32,
+        # >= 128: the measured FID-estimator noise floor (real-vs-real
+        # disjoint halves) is 0.26-0.30 at n=128 vs 0.6-2.1 at n<=32
+        # (scripts/fid_variance.py, DESIGN.md "FID gate trust")
+        fid_num_samples=128,
     )
     t.init_GAN()
     t.set_data_src(str(data_dir))
