@@ -262,6 +262,14 @@ def main():
             rehisto = measure_rehisto(precision)
             extras["rehisto_train_imgs_per_sec_256px"] = round(rehisto, 2)
             extras["rehisto_vs_r1_fp32"] = round(rehisto / R1_REHISTO_FP32, 3)
+        if os.environ.get("BENCH_FAST", "1") != "0":
+            # FAST PRESET (documented, BASELINE.md/README): batch 64
+            # amortizes the step's ~34-45 GiB of batch-independent HBM
+            # traffic (bytes roofline, docs/DESIGN.md r3) — measured
+            # 378 imgs/sec schedule-amortized on v5e-1 vs 212 at the
+            # reference's effective batch 16. Second headline metric.
+            extras["fast_preset_batch64_imgs_per_sec"] = round(
+                measure(precision, n_steps=24, batch_size=64), 2)
         if os.environ.get("BENCH_BATCH32", "0") == "1":
             # batch-32 config: the MXU is underfilled at the reference's
             # effective batch 16 (BASELINE.md roofline analysis); offered

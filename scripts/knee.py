@@ -101,24 +101,27 @@ def run_batch(batch_size: int, variants, schedule_steps: int = 32):
     }, mesh, batch_axis=1)
     step = make_train_step(models, g_tx, d_tx, cfg)
 
+    # ONE device state for the whole section, uploaded once (a fresh
+    # 3.4 GB state per variant costs 155 s on the 22 MB/s tunnel) and
+    # threaded through every timed step via donation. ONE compile per
+    # variant: the AOT-compiled executable is invoked directly — the
+    # jit call path does NOT share the AOT persistent-cache entry on
+    # this platform (measured: each path recompiled ~40 min at b64).
     results = {}
+    state = fresh_state()
     for label, gp, pl in variants:
-        state = None
         try:
-            lowered = step.lower(fresh_state(), batch, ks[4],
+            lowered = step.lower(state, batch, ks[4],
                                  apply_gp=gp, apply_pl=pl)
-            c = lowered.compile().cost_analysis()
+            compiled = lowered.compile()
+            c = compiled.cost_analysis()
             c = c[0] if isinstance(c, (list, tuple)) else c
             flops, nbytes = float(c.get("flops", 0)), float(c.get("bytes accessed", 0))
-            del lowered
-            gc.collect()
-            state = fresh_state()
-            state, m = step(state, batch, ks[4], apply_gp=gp, apply_pl=pl)
+            state, m = compiled(state, batch, ks[4])
             float(m["d_loss"])
             t0 = time.perf_counter()
             for i in range(8):
-                state, m = step(state, batch, jax.random.fold_in(key, i),
-                                apply_gp=gp, apply_pl=pl)
+                state, m = compiled(state, batch, jax.random.fold_in(key, i))
             float(m["d_loss"])
             dt = (time.perf_counter() - t0) / 8
             t_b = nbytes / (HBM_GBPS * 1e9)
@@ -127,37 +130,23 @@ def run_batch(batch_size: int, variants, schedule_steps: int = 32):
                   f"{nbytes/GIB:6.2f} GiB  minB={t_b*1e3:6.2f}ms  "
                   f"eff={t_b/dt*100:5.1f}%", flush=True)
             results[label] = dt
+            del compiled, lowered
         except Exception as e:  # noqa: BLE001
             print(f"b{batch_size} {label:<10} FAILED {type(e).__name__}: {e}"[:170],
                   flush=True)
-        finally:
-            del state
-            gc.collect()
+            state = fresh_state()  # the old one may be donated/poisoned
+        gc.collect()
 
-    # full-schedule throughput if every needed variant compiled
-    if all(k in results for k in ("plain", "+gp", "+gp+pl")):
-        state = fresh_state()
-        flags = lambda i: dict(apply_gp=i % 4 == 0, apply_pl=i % 32 == 0,
-                               apply_ema=i % 10 == 0)
-        try:
-            for i in (0, 1, 4, 10):
-                state, m = step(state, batch, jax.random.fold_in(key, i),
-                                **flags(i))
-                float(m["d_loss"])
-            n = schedule_steps
-            t0 = time.perf_counter()
-            for i in range(n):
-                state, m = step(state, batch, jax.random.fold_in(key, 99 + i),
-                                **flags(i))
-            float(m["d_loss"])
-            dt = time.perf_counter() - t0
-            print(f"b{batch_size} FULL SCHEDULE: {n*b/dt:7.1f} imgs/s "
-                  f"({dt/n*1e3:.1f} ms/step)", flush=True)
-        except Exception as e:  # noqa: BLE001
-            print(f"b{batch_size} schedule FAILED: {e}"[:170], flush=True)
-        finally:
-            del state
-            gc.collect()
+    # full-schedule estimate from the variant times (gp on 8/32 steps,
+    # pl on 1/32, the overlap at i=0; EMA every 10th adds ~1.2 GB of
+    # ema read+write ~= 3 ms — counted as +1 ms/step amortized). The
+    # bench.py driver run measures the real JIT-path schedule; this row
+    # exists so the knee can rank batch sizes with ONE compile/variant.
+    if all(k in results for k in ("plain", "+gp", "+gp+pl", "+pl")):
+        est = (23 * results["plain"] + 8 * results["+gp"]
+               + results["+gp+pl"]) / 32 + 1e-3
+        print(f"b{batch_size} SCHEDULE EST: {b/est:7.1f} imgs/s "
+              f"({est*1e3:.1f} ms/step amortized)", flush=True)
 
 
 def main():
