@@ -270,53 +270,50 @@ def main():
                 f"{type(e).__name__}: {e}"[:160])
         gc.collect()
 
-    try:
-        if os.environ.get("BENCH_REHISTO", "1") != "0":
-            def _rehisto():
-                rehisto = measure_rehisto(precision)
-                extras["rehisto_train_imgs_per_sec_256px"] = round(rehisto, 2)
-                extras["rehisto_vs_r1_fp32"] = round(
-                    rehisto / R1_REHISTO_FP32, 3)
-            _extra(_rehisto)
-        if os.environ.get("BENCH_FAST", "1") != "0":
-            # FAST PRESET (documented, BASELINE.md/README): batch 64
-            # amortizes the step's ~34-45 GiB of batch-independent HBM
-            # traffic (bytes roofline, docs/DESIGN.md r3) — measured
-            # 392 imgs/sec schedule-amortized on v5e-1 vs 199 at the
-            # reference's effective batch 16. Second headline metric.
-            _extra(lambda: extras.update(fast_preset_batch64_imgs_per_sec=
-                round(measure(precision, n_steps=24, batch_size=64), 2)))
-        if os.environ.get("BENCH_BATCH32", "0") == "1":
-            # batch-32 config: the MXU is underfilled at the reference's
-            # effective batch 16 (BASELINE.md roofline analysis); offered
-            # as a config, measured on demand
-            _extra(lambda: extras.update(batch32_imgs_per_sec=
-                round(measure(precision, batch_size=32), 2)))
-        if os.environ.get("BENCH_512", "0") == "1":
-            # resolution scaling: the reference's max documented size
-            # (--image_size 512, README.md:133-158); batch 8 to keep the
-            # same per-step pixel budget as 256px/batch 16. The fused
-            # one-program step exceeds this dev env's remote compile
-            # helper — fall back to the split D/G programs (identical
-            # numerics, tests/test_train.py) and label which form ran.
-            def _b512():
-                try:
-                    extras["imgs_per_sec_512px_batch8"] = round(
-                        measure(precision, n_steps=16, batch_size=8,
-                                image_size=512), 2)
-                    extras["form_512px"] = "fused"
-                except Exception as e:  # noqa: BLE001
-                    print(f"# 512px fused step failed ({type(e).__name__}); "
-                          f"retrying with split D/G programs", flush=True)
-                    extras["imgs_per_sec_512px_batch8"] = round(
-                        measure(precision, n_steps=16, batch_size=8,
-                                image_size=512, split=True), 2)
-                    extras["form_512px"] = "split"
-            _extra(_b512)
-        if os.environ.get("BENCH_PROJECTION", "0") == "1":
-            _extra(lambda: extras.update(measure_projection(n_steps=40)))
-    except Exception as e:  # noqa: BLE001
-        extras["extras_error"] = f"{type(e).__name__}: {e}"[:200]
+    if os.environ.get("BENCH_REHISTO", "1") != "0":
+        def _rehisto():
+            rehisto = measure_rehisto(precision)
+            extras["rehisto_train_imgs_per_sec_256px"] = round(rehisto, 2)
+            extras["rehisto_vs_r1_fp32"] = round(
+                rehisto / R1_REHISTO_FP32, 3)
+        _extra(_rehisto)
+    if os.environ.get("BENCH_FAST", "1") != "0":
+        # FAST PRESET (documented, BASELINE.md/README): batch 64
+        # amortizes the step's ~34-45 GiB of batch-independent HBM
+        # traffic (bytes roofline, docs/DESIGN.md r3) — measured
+        # 392 imgs/sec schedule-amortized on v5e-1 vs 199 at the
+        # reference's effective batch 16. Second headline metric.
+        _extra(lambda: extras.update(fast_preset_batch64_imgs_per_sec=
+            round(measure(precision, n_steps=24, batch_size=64), 2)))
+    if os.environ.get("BENCH_BATCH32", "0") == "1":
+        # batch-32 config: the MXU is underfilled at the reference's
+        # effective batch 16 (BASELINE.md roofline analysis); offered
+        # as a config, measured on demand
+        _extra(lambda: extras.update(batch32_imgs_per_sec=
+            round(measure(precision, batch_size=32), 2)))
+    if os.environ.get("BENCH_512", "0") == "1":
+        # resolution scaling: the reference's max documented size
+        # (--image_size 512, README.md:133-158); batch 8 to keep the
+        # same per-step pixel budget as 256px/batch 16. The fused
+        # one-program step exceeds this dev env's remote compile
+        # helper — fall back to the split D/G programs (identical
+        # numerics, tests/test_train.py) and label which form ran.
+        def _b512():
+            try:
+                extras["imgs_per_sec_512px_batch8"] = round(
+                    measure(precision, n_steps=16, batch_size=8,
+                            image_size=512), 2)
+                extras["form_512px"] = "fused"
+            except Exception as e:  # noqa: BLE001
+                print(f"# 512px fused step failed ({type(e).__name__}); "
+                      f"retrying with split D/G programs", flush=True)
+                extras["imgs_per_sec_512px_batch8"] = round(
+                    measure(precision, n_steps=16, batch_size=8,
+                            image_size=512, split=True), 2)
+                extras["form_512px"] = "split"
+        _extra(_b512)
+    if os.environ.get("BENCH_PROJECTION", "0") == "1":
+        _extra(lambda: extras.update(measure_projection(n_steps=40)))
     if extras:
         out["extras"] = extras
     print(json.dumps(out), flush=True)

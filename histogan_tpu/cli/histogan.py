@@ -200,7 +200,7 @@ def get_args(argv=None):
         choices=("auto", "true", "false"),
         help="Park the decoded dataset + hist pool in HBM and gather "
              "batches on device (auto: when eligible; see DESIGN.md).")
-    add("--split_step", action="store_true",
+    add("--split_step", type=str2bool, default=False,
         help="Compile the D and G phases as two separate XLA programs "
              "(identical numerics; escape hatch for compiler resource "
              "limits on very large images — the Trainer also falls "

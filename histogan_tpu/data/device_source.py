@@ -102,7 +102,8 @@ def should_use_device_dataset(flag, dataset, pool,
         raise ValueError(
             "device_dataset=True but the dataset is not eligible (needs "
             "a decoded cache, dataset_aug_prob=0, and <= "
-            f"{DEVICE_DATASET_BUDGET >> 20} MiB of images + pool)"
+            f"{(DEVICE_DATASET_BUDGET * _budget_scale) >> 20} MiB of "
+            f"images + pool across the {_budget_scale}-device mesh)"
         )
     return bool(flag)
 
@@ -181,9 +182,13 @@ class DeviceDataSource:
                     [pool, np.zeros((pad, *pool.shape[1:]), pool.dtype)])
             row_sharded = shd.NamedSharding(
                 mesh, shd.PartitionSpec("data"))
-            self._images = jax.device_put(jnp.asarray(images), row_sharded)
+            # device_put from HOST numpy: each device receives only its
+            # own shard. jnp.asarray first would stage the WHOLE cache
+            # on one device — an instant OOM in exactly the over-budget
+            # regime this mode exists for (r3 review)
+            self._images = jax.device_put(images, row_sharded)
             self._pool = jax.device_put(
-                jnp.asarray(pool, jnp.float32), row_sharded)
+                np.asarray(pool, np.float32), row_sharded)
         else:
             # one-time H2D push, replicated over the data mesh
             self._images = replicate(jnp.asarray(images), mesh)

@@ -97,6 +97,7 @@ class Trainer:
         self.pl_mean = 0.0
 
         self.state: Optional[HistoGANState] = None
+        self._step_has_run = False  # split-fallback gate
         self.loader: Optional[TrainLoader] = None
         self.pool: Optional[HistogramPool] = None
         self._staged_batch = None  # double-buffered H2D (see train())
@@ -186,6 +187,7 @@ class Trainer:
         self._train_step = make_train_step(self.models, self.g_tx,
                                            self.d_tx, cfg,
                                            split=cfg.split_step)
+        self._step_has_run = False
         self.av = None
 
     # ------------------------------------------------------------- data
@@ -241,6 +243,7 @@ class Trainer:
             self._train_step = make_train_step(self.models, self.g_tx,
                                                self.d_tx, self.cfg,
                                                split=self.cfg.split_step)
+            self._step_has_run = False
 
         apply_gp = self.steps % 4 == 0
         apply_pl = self.steps % 32 == 0
@@ -261,13 +264,14 @@ class Trainer:
                 apply_pl=apply_pl, apply_ema=apply_ema
             )
         except Exception as e:  # noqa: BLE001
-            if self.cfg.split_step or not _looks_like_compile_failure(e):
+            # only fall back when the FUSED program has never executed
+            # (then the failure is a compile failure and the donated
+            # state buffers were never consumed) and the error looks
+            # compiler-shaped. A runtime error mid-training must surface
+            # as-is — and would leave donated buffers deleted anyway.
+            if (self.cfg.split_step or self._step_has_run
+                    or not _looks_like_compile_failure(e)):
                 raise
-            # the fused one-program step exceeded a compiler resource
-            # limit (observed for 512px on the dev tunnel's remote
-            # compile helper) — fall back to two half-size programs.
-            # Safe to retry: a compile failure happens before execution,
-            # so the donated state buffers were never consumed.
             print(f"fused train step failed to compile "
                   f"({type(e).__name__}); retrying with split D/G "
                   f"programs (cfg.split_step)")
@@ -277,10 +281,16 @@ class Trainer:
             self._train_step = make_train_step(self.models, self.g_tx,
                                                self.d_tx, self.cfg,
                                                split=True)
-            self.state, metrics = self._train_step(
-                self.state, batch, step_key, apply_gp=apply_gp,
-                apply_pl=apply_pl, apply_ema=apply_ema
-            )
+            try:
+                self.state, metrics = self._train_step(
+                    self.state, batch, step_key, apply_gp=apply_gp,
+                    apply_pl=apply_pl, apply_ema=apply_ema
+                )
+            except Exception as retry_err:
+                # e.g. the fused attempt did consume buffers after all —
+                # surface the ORIGINAL failure, not the retry artifact
+                raise e from retry_err
+        self._step_has_run = True
         # stage the next transfer behind the async step dispatch
         self._staged_batch = stage_next_batch(self.loader, self.mesh)
         if apply_reset:  # reset_parameter_averaging, applied eagerly

@@ -143,7 +143,9 @@ def run_batch(batch_size: int, variants, schedule_steps: int = 32):
     # bench.py driver run measures the real JIT-path schedule; this row
     # exists so the knee can rank batch sizes with ONE compile/variant.
     if all(k in results for k in ("plain", "+gp", "+gp+pl", "+pl")):
-        est = (23 * results["plain"] + 8 * results["+gp"]
+        # 32-step schedule: gp at i%4==0 (8 steps, one of which — i=0 —
+        # is also the pl step) -> 24 plain + 7 gp-only + 1 gp+pl
+        est = (24 * results["plain"] + 7 * results["+gp"]
                + results["+gp+pl"]) / 32 + 1e-3
         print(f"b{batch_size} SCHEDULE EST: {b/est:7.1f} imgs/s "
               f"({est*1e3:.1f} ms/step amortized)", flush=True)
