@@ -44,7 +44,7 @@ R1_REHISTO_FP32 = 81.4  # r1 reHistoGAN step fp32 batch 16, v5e-1
 
 def measure(precision: str = "bf16", n_steps: int = 32,
             batch_size: int = 16, image_size: int = 256,
-            split: bool = False) -> float:
+            split: bool = False, capacity: int = 16) -> float:
     from histogan_tpu.models import (
         Discriminator, Generator, HistVectorizer, StyleVectorizer,
     )
@@ -55,7 +55,8 @@ def measure(precision: str = "bf16", n_steps: int = 32,
     from histogan_tpu.utils.config import HistoGANConfig
 
     cfg = HistoGANConfig(
-        image_size=image_size, network_capacity=16, batch_size=batch_size,
+        image_size=image_size, network_capacity=capacity,
+        batch_size=batch_size,
         gradient_accumulate_every=1, precision=precision,
     )
     mesh = make_mesh()
@@ -313,23 +314,26 @@ def main():
             # instead of burning an allocation on the fused attempt
             # (which also exceeds the remote compile helper here)
             bs = int(os.environ.get("BENCH_512_BATCH", "8"))
+            cap = int(os.environ.get("BENCH_512_CAP", "16"))
+            tag = f"imgs_per_sec_512px_batch{bs}" + (
+                f"_cap{cap}" if cap != 16 else "")
             if os.environ.get("BENCH_512_FORM", "auto") == "split":
-                extras[f"imgs_per_sec_512px_batch{bs}"] = round(
+                extras[tag] = round(
                     measure(precision, n_steps=16, batch_size=bs,
-                            image_size=512, split=True), 2)
+                            image_size=512, split=True, capacity=cap), 2)
                 extras["form_512px"] = "split"
                 return
             try:
-                extras[f"imgs_per_sec_512px_batch{bs}"] = round(
+                extras[tag] = round(
                     measure(precision, n_steps=16, batch_size=bs,
-                            image_size=512), 2)
+                            image_size=512, capacity=cap), 2)
                 extras["form_512px"] = "fused"
             except Exception as e:  # noqa: BLE001
                 print(f"# 512px fused step failed ({type(e).__name__}); "
                       f"retrying with split D/G programs", flush=True)
-                extras[f"imgs_per_sec_512px_batch{bs}"] = round(
+                extras[tag] = round(
                     measure(precision, n_steps=16, batch_size=bs,
-                            image_size=512, split=True), 2)
+                            image_size=512, split=True, capacity=cap), 2)
                 extras["form_512px"] = "split"
         _extra(_b512)
     if os.environ.get("BENCH_PROJECTION", "0") == "1":
