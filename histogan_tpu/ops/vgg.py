@@ -70,11 +70,12 @@ class VGGPerceptualLoss:
             self._loss, static_argnames=("feature_layers", "style_layers")
         )
 
-    def _features(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+    def _features(self, x: jnp.ndarray, weights=None) -> List[jnp.ndarray]:
+        weights = self.weights if weights is None else weights
         feats = []
         for bi, block in enumerate(_BLOCK_CONVS):
             for idx in block:
-                k, b = self.weights[idx]
+                k, b = weights[idx]
                 x = jax.lax.conv_general_dilated(
                     x, jnp.asarray(k), (1, 1), [(1, 1), (1, 1)],
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -96,9 +97,13 @@ class VGGPerceptualLoss:
         return x
 
     def _loss(self, input_img, target_img, feature_layers=(0, 1, 2, 3),
-              style_layers=()):
-        fx = self._features(self._prep(input_img))
-        fy = self._features(self._prep(target_img))
+              style_layers=(), weights=None):
+        """``weights`` lets a caller thread the conv weights through a jit
+        as ARGUMENTS instead of closure constants — embedding the ~56 MB
+        of VGG weights as HLO literals overflows the remote compile
+        helper's request-body limit (HTTP 413, measured r3)."""
+        fx = self._features(self._prep(input_img), weights)
+        fy = self._features(self._prep(target_img), weights)
         loss = 0.0
         for i, (a, b) in enumerate(zip(fx, fy)):
             if i in feature_layers:

@@ -111,9 +111,17 @@ def _forward(trainer, ema, histogram_latent, *, z_styles=None,
     )
 
 
-def _run_optimization(loss_fn, tx, variables, opt_state, num_train_steps,
-                      log_every, save_every, on_log, on_save):
+def _run_optimization(loss_fn, tx, variables, opt_state, consts,
+                      num_train_steps, log_every, save_every, on_log, on_save):
     """Drive the Adam loop in ``lax.scan`` chunks between host events.
+
+    ``consts`` is the pytree of FROZEN arrays the loss closes over (EMA
+    generator params, target image, VGG weights, ...). It is threaded
+    through the jit as an argument — closing over the ~330 MB of frozen
+    params embeds them as HLO literal constants, and the serialized
+    program then exceeds this platform's remote-compile request-body
+    limit (HTTP 413, measured r3). As arguments they live in HBM and the
+    program stays a few MB.
 
     One jitted dispatch covers every step up to the next log/save
     boundary (identical print/save semantics to the per-step loop) —
@@ -129,11 +137,12 @@ def _run_optimization(loss_fn, tx, variables, opt_state, num_train_steps,
     (losses on frozen variables — cheap next to a recompile)."""
     import functools
 
-    @functools.partial(jax.jit, static_argnums=3)
-    def run_chunk(v, s, n_active, length):
+    @functools.partial(jax.jit, static_argnums=4)
+    def run_chunk(v, s, c, n_active, length):
         def body(carry, i):
             v, s = carry
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(v)
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(v, c)
             updates, s2 = tx.update(grads, s, v)
             v2 = optax.apply_updates(v, updates)
             active = i < n_active
@@ -150,6 +159,7 @@ def _run_optimization(loss_fn, tx, variables, opt_state, num_train_steps,
     chunk_len = min(x for x in (log_every or None, save_every,
                                 num_train_steps) if x)
 
+    consts = jax.device_put(consts)  # upload ONCE, not per dispatch
     t = 0
     while t < num_train_steps:
         nxt = num_train_steps
@@ -158,7 +168,7 @@ def _run_optimization(loss_fn, tx, variables, opt_state, num_train_steps,
             nxt = min(nxt, u + 1)
         u_save = ((t + save_every) // save_every) * save_every - 1
         nxt = min(nxt, u_save + 1)
-        variables, opt_state, aux = run_chunk(variables, opt_state,
+        variables, opt_state, aux = run_chunk(variables, opt_state, consts,
                                               nxt - t, chunk_len)
         last = nxt - 1
         if log_every and last % log_every == 0:
@@ -222,7 +232,7 @@ def project_gaussian(trainer, input_image: str, *, results_dir: str,
         target, h=cfg.hist_bin, insz=cfg.hist_insz, resizing=cfg.hist_resizing,
         method=cfg.hist_method, sigma=cfg.hist_sigma,
     )
-    ema = jax.device_get(trainer.state.ema)
+    ema = trainer.state.ema  # keep on device: threaded as jit args / eager operands
     hist_latent = trainer.H.apply({"params": ema["H"]}, in_hist)
 
     # init: one z repeated over rows (noise_list, projection_gaussian.py:407-410)
@@ -246,22 +256,37 @@ def project_gaussian(trainer, input_image: str, *, results_dir: str,
 
     vgg = _maybe_vgg(vgg_loss_weight)
 
-    def render(v):
+    # frozen arrays threaded through the jit as ARGUMENTS (see
+    # _run_optimization docstring — closure constants overflow the
+    # remote-compile body limit at this model size)
+    consts = {"ema": {"G": ema["G"], "S": ema["S"]},
+              "hist_latent": hist_latent, "target": target,
+              "in_noise": in_noise}
+    if vgg is not None:
+        consts["vgg"] = vgg.weights
+
+    def render(v, c):
         kwargs = {}
         if "noise1" in v:
             kwargs["noise_lists"] = {"noise1": v["noise1"], "noise2": v["noise2"]}
         else:
-            kwargs["in_noise"] = v.get("in_noise", in_noise)
-        return _forward(trainer, ema, hist_latent, z_styles=v["styles"],
-                        **kwargs)
+            kwargs["in_noise"] = v.get("in_noise", c["in_noise"])
+        return _forward(trainer, c["ema"], c["hist_latent"],
+                        z_styles=v["styles"], **kwargs)
 
-    def loss_fn(v):
-        rgb = render(v)
-        rec = pixel_loss_weight * _pixel_loss(pixel_loss, target, rgb)
+    # one compiled forward for start/save/final renders (eager would be
+    # hundreds of 35 ms tunneled dispatches per save); inlined when
+    # traced inside the chunk jit
+    render = jax.jit(render)
+
+    def loss_fn(v, c):
+        rgb = render(v, c)
+        rec = pixel_loss_weight * _pixel_loss(pixel_loss, c["target"], rgb)
         loss = rec
         vl = jnp.zeros(())
         if vgg is not None:
-            vl = vgg_loss_weight * vgg._loss(target, rgb)
+            vl = vgg_loss_weight * vgg._loss(c["target"], rgb,
+                                             weights=c["vgg"])
             loss = loss + vl
         nl_loss = jnp.zeros(())
         if optimize_noise:
@@ -279,7 +304,7 @@ def project_gaussian(trainer, input_image: str, *, results_dir: str,
     tx = optax.adam(learning_rate)
     opt_state = tx.init(variables)
 
-    start = render(variables)
+    start = render(variables, consts)
     save_image(np.asarray(jnp.clip(start[0], 0, 1)), out_dir / f"{filename}_start.jpg")
 
     def dump(v, tag):
@@ -299,18 +324,18 @@ def project_gaussian(trainer, input_image: str, *, results_dir: str,
               f"style reg loss = {float(sl)}")
 
     def on_save(t, v):
-        img = render(v)
+        img = render(v, consts)
         save_image(np.asarray(jnp.clip(img[0], 0, 1)),
                    out_dir / f"{filename}_{t + 1}.jpg")
         dump(v, str(t + 1))
 
     variables, opt_state = _run_optimization(
-        loss_fn, tx, variables, opt_state, num_train_steps,
+        loss_fn, tx, variables, opt_state, consts, num_train_steps,
         log_every, save_every, on_log, on_save,
     )
 
     dump(variables, "final")
-    img = render(variables)
+    img = render(variables, consts)
     save_image(np.asarray(jnp.clip(img[0], 0, 1)), out_dir / f"{filename}_final.jpg")
     print("End of optimization.")
     return out_dir
@@ -341,7 +366,7 @@ def project_to_latent(trainer, input_image: str, *, results_dir: str,
         target, h=cfg.hist_bin, insz=cfg.hist_insz, resizing=cfg.hist_resizing,
         method=cfg.hist_method, sigma=cfg.hist_sigma,
     )
-    ema = jax.device_get(trainer.state.ema)
+    ema = trainer.state.ema  # keep on device: threaded as jit args / eager operands
     hist_latent = trainer.H.apply({"params": ema["H"]}, in_hist)
 
     z0 = jax.random.normal(k1, (1, cfg.latent_dim))
@@ -370,7 +395,14 @@ def project_to_latent(trainer, input_image: str, *, results_dir: str,
 
     vgg = _maybe_vgg(vgg_loss_weight)
 
-    def render(v):
+    # frozen arrays as jit arguments (see _run_optimization docstring)
+    consts = {"ema": {"G": ema["G"], "S": ema["S"]},
+              "hist_latent": hist_latent, "target": target,
+              "in_noise": in_noise}
+    if vgg is not None:
+        consts["vgg"] = vgg.weights
+
+    def render(v, c):
         # pad the optimized lists up to nl entries (last 2 use the hist path)
         style_lists = {
             "style1": list(v["style1"]) + [None, None],
@@ -381,17 +413,23 @@ def project_to_latent(trainer, input_image: str, *, results_dir: str,
         if "noise1" in v:
             kwargs["noise_lists"] = {"noise1": v["noise1"], "noise2": v["noise2"]}
         else:
-            kwargs["in_noise"] = v.get("in_noise", in_noise)
-        return _forward(trainer, ema, hist_latent, style_lists=style_lists,
-                        **kwargs)
+            kwargs["in_noise"] = v.get("in_noise", c["in_noise"])
+        return _forward(trainer, c["ema"], c["hist_latent"],
+                        style_lists=style_lists, **kwargs)
 
-    def loss_fn(v):
-        rgb = render(v)
-        rec = pixel_loss_weight * _pixel_loss(pixel_loss, target, rgb)
+    # one compiled forward for start/save/final renders (eager would be
+    # hundreds of 35 ms tunneled dispatches per save); inlined when
+    # traced inside the chunk jit
+    render = jax.jit(render)
+
+    def loss_fn(v, c):
+        rgb = render(v, c)
+        rec = pixel_loss_weight * _pixel_loss(pixel_loss, c["target"], rgb)
         loss = rec
         vl = jnp.zeros(())
         if vgg is not None:
-            vl = vgg_loss_weight * vgg._loss(target, rgb)
+            vl = vgg_loss_weight * vgg._loss(c["target"], rgb,
+                                             weights=c["vgg"])
             loss = loss + vl
         nl_loss = jnp.zeros(())
         if optimize_noise:
@@ -411,7 +449,7 @@ def project_to_latent(trainer, input_image: str, *, results_dir: str,
     tx = optax.adam(learning_rate)
     opt_state = tx.init(variables)
 
-    start = render(variables)
+    start = render(variables, consts)
     save_image(np.asarray(jnp.clip(start[0], 0, 1)), out_dir / f"{filename}_start.jpg")
 
     def dump(v, tag):
@@ -435,18 +473,18 @@ def project_to_latent(trainer, input_image: str, *, results_dir: str,
               f"style reg loss = {float(sl)}")
 
     def on_save(t, v):
-        img = render(v)
+        img = render(v, consts)
         save_image(np.asarray(jnp.clip(img[0], 0, 1)),
                    out_dir / f"{filename}_{t + 1}.jpg")
         dump(v, str(t + 1))
 
     variables, opt_state = _run_optimization(
-        loss_fn, tx, variables, opt_state, num_train_steps,
+        loss_fn, tx, variables, opt_state, consts, num_train_steps,
         log_every, save_every, on_log, on_save,
     )
 
     dump(variables, "final")
-    img = render(variables)
+    img = render(variables, consts)
     save_image(np.asarray(jnp.clip(img[0], 0, 1)), out_dir / f"{filename}_final.jpg")
     print("End of optimization.")
     return out_dir
@@ -472,7 +510,7 @@ def recolor_projected(trainer, input_image: str, target_hist: jnp.ndarray,
     filename = os.path.basename(os.path.splitext(input_image)[0])
     out_dir = Path(results_dir) / trainer.name / filename
     data = dict(np.load(out_dir / f"{filename}_final.npz"))
-    ema = jax.device_get(trainer.state.ema)
+    ema = trainer.state.ema  # keep on device: threaded as jit args / eager operands
     hist_latent = trainer.H.apply({"params": ema["H"]}, jnp.asarray(target_hist))
 
     kwargs: Dict[str, object] = {}

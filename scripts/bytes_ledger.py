@@ -30,26 +30,31 @@ import numpy as np
 GIB = float(2 ** 30)
 
 
-def cost_of(jitted, *args, **kwargs):
-    c = jitted.lower(*args, **kwargs).compile().cost_analysis()
+def cost_of(compiled):
+    c = compiled.cost_analysis()
     c = c[0] if isinstance(c, (list, tuple)) else c
     return float(c.get("flops", 0.0)), float(c.get("bytes accessed", 0.0))
 
 
-def timeit(fn, *args, n=8):
-    out = fn(*args)
-    float(jnp.sum(jax.tree_util.tree_leaves(out)[0]).astype(jnp.float32))
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    float(jnp.sum(jax.tree_util.tree_leaves(out)[0]).astype(jnp.float32))
-    return (time.perf_counter() - t0) / n
-
-
 def row(label, jitted, *args, measure=True):
+    """ONE compile per row: cost AND timing come from the same
+    AOT-compiled executable (the jit call path does not share the
+    persistent-cache entry on this platform — r3 lesson)."""
     try:
-        flops, nbytes = cost_of(jitted, *args)
-        ms = timeit(jitted, *args) * 1e3 if measure else float("nan")
+        compiled = jitted.lower(*args).compile()
+        flops, nbytes = cost_of(compiled)
+        if measure:
+            out = compiled(*args)
+            float(jnp.sum(jax.tree_util.tree_leaves(out)[0])
+                  .astype(jnp.float32))
+            t0 = time.perf_counter()
+            for _ in range(8):
+                out = compiled(*args)
+            float(jnp.sum(jax.tree_util.tree_leaves(out)[0])
+                  .astype(jnp.float32))
+            ms = (time.perf_counter() - t0) / 8 * 1e3
+        else:
+            ms = float("nan")
         print(f"{label:<38} {ms:8.2f} ms  {flops/1e9:9.1f} GF  "
               f"{nbytes/GIB:7.3f} GiB", flush=True)
     except Exception as e:  # noqa: BLE001
@@ -168,8 +173,9 @@ def main():
         ), mesh)
         step = make_train_step(models, tx, d_tx, cfg_b)
         try:
-            flops, nbytes = cost_of(step, state, batch, ks[7],
-                                    apply_gp=False, apply_pl=False)
+            flops, nbytes = cost_of(step.lower(
+                state, batch, ks[7], apply_gp=False, apply_pl=False
+            ).compile())
             print(f"plain step b{bs}: {flops/1e9:9.1f} GF  "
                   f"{nbytes/GIB:7.3f} GiB", flush=True)
         except Exception as e:  # noqa: BLE001

@@ -93,15 +93,18 @@ def test_run_optimization_masked_chunks_match_per_step():
     tx = optax.adam(0.1)
     target = jnp.arange(4.0)
 
-    def loss_fn(v):
-        loss = jnp.sum((v["x"] - target) ** 2)
+    # frozen arrays ride through the jit as the ``consts`` argument
+    # (not closure constants — the r3 413 fix)
+    def loss_fn(v, c):
+        loss = jnp.sum((v["x"] - c["target"]) ** 2)
         return loss, {"loss": loss}
 
     v0 = {"x": jnp.zeros(4)}
     s0 = tx.init(v0)
     logs, saves = [], []
     v, _ = _run_optimization(
-        loss_fn, tx, v0, s0, num_train_steps=10, log_every=3, save_every=4,
+        loss_fn, tx, v0, s0, {"target": target},
+        num_train_steps=10, log_every=3, save_every=4,
         on_log=lambda i, aux: logs.append((i, float(aux["loss"]))),
         on_save=lambda i, vv: saves.append(i),
     )
@@ -109,7 +112,8 @@ def test_run_optimization_masked_chunks_match_per_step():
     vr, sr = v0, s0
     ref_losses = []
     for _ in range(10):
-        (loss, _aux), g = jax.value_and_grad(loss_fn, has_aux=True)(vr)
+        (loss, _aux), g = jax.value_and_grad(
+            lambda vv: loss_fn(vv, {"target": target}), has_aux=True)(vr)
         ref_losses.append(float(loss))
         upd, sr = tx.update(g, sr, vr)
         vr = optax.apply_updates(vr, upd)
