@@ -225,17 +225,25 @@ def measure_projection(n_steps: int = 40) -> dict:
                     models_dir=os.path.join(td, "m"), image_size=256,
                     network_capacity=16, seed=0)
         t.init_GAN()
+        long_steps = n_steps * 5
         for label, fn in (("z_space", projection.project_gaussian),
                           ("style_space", projection.project_to_latent)):
+            # 200-step runs: a 40-step run reads ~9.5 steps/sec because
+            # the fixed per-run overhead (start/final renders, jpg+npz
+            # writes, ~35 ms tunneled dispatch latency) dominates;
+            # measured r3. The long-run rate is what the reference's
+            # 100k-step usage sees. (A 40-vs-200 two-point marginal
+            # estimate was tried and is NOT stable — tunnel run-to-run
+            # variance exceeds the 160-step delta.)
             kw = dict(results_dir=os.path.join(td, f"res_{label}"),
-                      num_train_steps=n_steps, save_every=n_steps,
+                      num_train_steps=long_steps, save_every=long_steps,
                       log_every=0, vgg_loss_weight=0.0, seed=0)
             fn(t, img_path, **kw)  # compile + warm
             t0 = time.perf_counter()
             fn(t, img_path, **kw)
             dt = time.perf_counter() - t0
             out[f"projection_{label}_steps_per_sec_256px"] = round(
-                n_steps / dt, 2)
+                long_steps / dt, 2)
     return out
 
 
@@ -336,7 +344,7 @@ def main():
                             image_size=512, split=True, capacity=cap), 2)
                 extras["form_512px"] = "split"
         _extra(_b512)
-    if os.environ.get("BENCH_PROJECTION", "0") == "1":
+    if os.environ.get("BENCH_PROJECTION", "1") != "0":
         _extra(lambda: extras.update(measure_projection(n_steps=40)))
     if extras:
         out["extras"] = extras
