@@ -44,7 +44,8 @@ R1_REHISTO_FP32 = 81.4  # r1 reHistoGAN step fp32 batch 16, v5e-1
 
 def measure(precision: str = "bf16", n_steps: int = 32,
             batch_size: int = 16, image_size: int = 256,
-            split: bool = False, capacity: int = 16) -> float:
+            split: bool = False, capacity: int = 16,
+            opt_state_dtype=None) -> float:
     from histogan_tpu.models import (
         Discriminator, Generator, HistVectorizer, StyleVectorizer,
     )
@@ -80,8 +81,9 @@ def measure(precision: str = "bf16", n_steps: int = 32,
         )["params"],
     }
     params_d = D.init(ks[3], jnp.zeros((1, cfg.image_size, cfg.image_size, 3)))["params"]
-    g_tx = diffgrad(cfg.learning_rate, 0.5, 0.9)
-    d_tx = diffgrad(cfg.learning_rate, 0.5, 0.9)
+    sdt = jnp.bfloat16 if opt_state_dtype == "bf16" else None
+    g_tx = diffgrad(cfg.learning_rate, 0.5, 0.9, state_dtype=sdt)
+    d_tx = diffgrad(cfg.learning_rate, 0.5, 0.9, state_dtype=sdt)
     state = HistoGANState(
         step=jnp.zeros((), jnp.int32),
         params_g=params_g, params_d=params_d,
@@ -344,6 +346,17 @@ def main():
                             image_size=512, split=True, capacity=cap), 2)
                 extras["form_512px"] = "split"
         _extra(_b512)
+    if os.environ.get("BENCH_OPT_BF16", "0") == "1":
+        # opt_state_dtype='bf16': DiffGrad moment/previous-grad trees
+        # stored bf16 (fp32 math) — halves the optimizer's share of the
+        # HBM-bound step's traffic (optim/diffgrad.py, DESIGN.md r3
+        # roofline). Measured at both the reference batch and the fast
+        # preset so the bytes saving shows against both rooflines.
+        _extra(lambda: extras.update(opt_bf16_batch16_imgs_per_sec=
+            round(measure(precision, opt_state_dtype="bf16"), 2)))
+        _extra(lambda: extras.update(opt_bf16_batch64_imgs_per_sec=
+            round(measure(precision, n_steps=24, batch_size=64,
+                          opt_state_dtype="bf16"), 2)))
     if os.environ.get("BENCH_PROJECTION", "1") != "0":
         _extra(lambda: extras.update(measure_projection(n_steps=40)))
     if extras:

@@ -63,6 +63,7 @@ def train_from_folder(
     aug_prob=0.0, dataset_aug_prob=0.0, aug_types=None, seed=42,
     num_devices=None, load_pt=None, precision="fp32", sync_every=1,
     device_dataset="auto", calculate_fid_every=None, split_step=False,
+    param_sharding="replicated", opt_state_dtype=None,
 ):
     from histogan_tpu.ops.histogram import RGBuvHistBlock
     from histogan_tpu.train import NanException, Trainer
@@ -80,6 +81,7 @@ def train_from_folder(
         num_devices=num_devices, precision=precision, sync_every=sync_every,
         device_dataset=device_dataset,
         calculate_fid_every=calculate_fid_every, split_step=split_step,
+        param_sharding=param_sharding, opt_state_dtype=opt_state_dtype,
     )
 
     if not new:
@@ -205,6 +207,17 @@ def get_args(argv=None):
              "(identical numerics; escape hatch for compiler resource "
              "limits on very large images — the Trainer also falls "
              "back to this automatically).")
+    add("--param_sharding", default="replicated",
+        choices=("replicated", "fsdp"),
+        help="State layout over the device mesh: 'replicated' (DP) or "
+             "'fsdp' (ZeRO-3-style — params/optimizer/EMA sharded over "
+             "the data axis; the multi-chip path for models whose state "
+             "outgrows one chip, e.g. 512px capacity-16).")
+    add("--opt_state_dtype", default=None, choices=("fp32", "bf16"),
+        help="Storage dtype for the DiffGrad moment/previous-grad trees "
+             "(update math stays fp32). 'bf16' halves the optimizer's "
+             "HBM traffic — a perf knob for the HBM-bound step "
+             "(optim/diffgrad.py); default fp32 = reference numerics.")
     add("--calculate_fid_every", type=int, default=None,
         help="Score FID on EMA samples every N steps "
              "(results/<name>/fid_scores.txt).")
@@ -256,6 +269,8 @@ def main(argv=None):
             args.device_dataset, "auto"),
         calculate_fid_every=args.calculate_fid_every,
         split_step=args.split_step,
+        param_sharding=args.param_sharding,
+        opt_state_dtype=args.opt_state_dtype,
     )
 
 

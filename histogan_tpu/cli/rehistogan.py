@@ -134,6 +134,7 @@ def train_from_folder(
     level_blending=False, post_recoloring=False,
     histogram_pool="histogram_data/histograms.npy", seed=42, load_pt=None,
     num_devices=None, precision="fp32", sync_every=1, device_dataset="auto",
+    param_sharding="replicated", opt_state_dtype=None,
 ):
     from histogan_tpu.train import NanException, Trainer
     from histogan_tpu.train.rehisto_trainer import RecoloringTrainer
@@ -153,7 +154,8 @@ def train_from_folder(
         change_hyperparameters=change_hyperparameters,
         change_hyperparameters_after=change_hyperparameters_after, seed=seed,
         num_devices=num_devices, precision=precision, sync_every=sync_every,
-        device_dataset=device_dataset,
+        device_dataset=device_dataset, param_sharding=param_sharding,
+        opt_state_dtype=opt_state_dtype,
     )
 
     def transplant():
@@ -278,6 +280,14 @@ def get_args(argv=None):
     add("--device_dataset", default="auto",
         choices=("auto", "true", "false"),
         help="Park the decoded dataset + hist pool in HBM (see DESIGN.md).")
+    add("--param_sharding", default="replicated",
+        choices=("replicated", "fsdp"),
+        help="State layout over the device mesh: 'replicated' (DP) or "
+             "'fsdp' (ZeRO-3-style sharded state; parallel/fsdp.py).")
+    add("--opt_state_dtype", default=None, choices=("fp32", "bf16"),
+        help="Storage dtype for the DiffGrad moment/previous-grad trees "
+             "(fp32 math; bf16 halves optimizer HBM traffic — "
+             "optim/diffgrad.py).")
     add("--fq_layers", nargs="*", type=int, default=[])
     add("--fq_dict_size", type=int, default=256)
     add("--attn_layers", nargs="*", type=int, default=[])
@@ -379,6 +389,8 @@ def main(argv=None):
         sync_every=args.sync_every,
         device_dataset={"true": True, "false": False}.get(
             args.device_dataset, "auto"),
+        param_sharding=args.param_sharding,
+        opt_state_dtype=args.opt_state_dtype,
     )
 
 

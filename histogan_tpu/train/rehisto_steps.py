@@ -69,10 +69,15 @@ def _rec_variant(rec_loss) -> str:
     raise Exception("Unknown reconstruction loss!")
 
 
-def make_rehisto_train_step(models: RecolorModels, g_tx, d_tx, cfg):
+def make_rehisto_train_step(models: RecolorModels, g_tx, d_tx, cfg,
+                            state_shardings=None):
     """batch = {'d_images','d_hists','g_images','g_hists'} with leading
     (A, B, ...); hyperparameters (alpha, beta, gamma) are jitted in
-    statically — the reference's step-100k switch recompiles once."""
+    statically — the reference's step-100k switch recompiles once.
+
+    ``state_shardings`` pins the output state to the FSDP layout
+    (parallel/fsdp.py): step code unchanged, params/opt stay sharded
+    over the mesh, XLA inserts the collectives."""
 
     accum = cfg.gradient_accumulate_every
     gauss_kernel = filters.gaussian_kernel(15, 5.0)
@@ -264,6 +269,16 @@ def make_rehisto_train_step(models: RecolorModels, g_tx, d_tx, cfg):
         )
         return new_state, metrics
 
+    if state_shardings is not None:
+        mesh = jax.tree_util.tree_leaves(state_shardings)[0].mesh
+        from jax.sharding import NamedSharding, PartitionSpec
+        return jax.jit(
+            train_step,
+            static_argnames=("apply_gp", "alpha", "beta", "gamma"),
+            donate_argnums=(0,),
+            out_shardings=(state_shardings,
+                           NamedSharding(mesh, PartitionSpec())),
+        )
     return jax.jit(
         train_step,
         static_argnames=("apply_gp", "alpha", "beta", "gamma"),

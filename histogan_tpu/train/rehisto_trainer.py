@@ -52,12 +52,27 @@ class RecoloringTrainer:
                  change_hyperparameters_after=100000, latent_dim=512,
                  style_depth=8, num_devices=None, seed=42,
                  precision="fp32", sync_every=1, device_dataset="auto",
+                 param_sharding="replicated", opt_state_dtype=None,
                  **_unused):
         # sync_every: fetch step metrics every N steps (same async-
         # metrics amortization as Trainer — the ~31 ms/step host sync
         # dominated the r1 e2e numbers; NaN rollback then triggers up to
         # N-1 steps late, reloading the same checkpoint).
         self.sync_every = max(1, int(sync_every))
+        # param_sharding: "replicated" or "fsdp" (parallel/fsdp.py) —
+        # same surface as Trainer.
+        if param_sharding not in ("replicated", "fsdp"):
+            raise ValueError(
+                f"param_sharding must be 'replicated' or 'fsdp', "
+                f"got {param_sharding!r}")
+        self.param_sharding = param_sharding
+        self._shardings = None
+        # opt_state_dtype: same knob as Trainer (optim/diffgrad.py) —
+        # bf16 storage for the DiffGrad trees, fp32 math.
+        if opt_state_dtype not in (None, "fp32", "bf16"):
+            raise ValueError(f"opt_state_dtype must be None, 'fp32' or "
+                             f"'bf16', got {opt_state_dtype!r}")
+        self.opt_state_dtype = opt_state_dtype
         self.cfg = ReHistoGANConfig(
             image_size=image_size, network_capacity=network_capacity,
             latent_dim=latent_dim, style_depth=style_depth,
@@ -146,18 +161,39 @@ class RecoloringTrainer:
         params_d = d_vars["params"]
         vq_stats = d_vars.get("vq_stats", {})  # fq_layers codebooks
 
-        self.g_tx = diffgrad(cfg.learning_rate, 0.5, 0.9)
-        self.d_tx = diffgrad(cfg.learning_rate, 0.5, 0.9)
+        sdt = jnp.bfloat16 if self.opt_state_dtype == "bf16" else None
+        self.g_tx = diffgrad(cfg.learning_rate, 0.5, 0.9, state_dtype=sdt)
+        self.d_tx = diffgrad(cfg.learning_rate, 0.5, 0.9, state_dtype=sdt)
         state = ReHistoGANState(
             step=jnp.zeros((), jnp.int32),
             params_g=params_g, params_d=params_d,
             opt_g=self.g_tx.init(params_g), opt_d=self.d_tx.init(params_d),
             vq_stats=vq_stats,
         )
-        self.state = replicate(state, self.mesh)
+        self.state = self._place(state)
         self._train_step = make_rehisto_train_step(
-            self.models, self.g_tx, self.d_tx, cfg
+            self.models, self.g_tx, self.d_tx, cfg,
+            state_shardings=self._shardings,
         )
+
+    def _place(self, state):
+        """Put a host/replicated state onto the mesh per param_sharding."""
+        if self.param_sharding == "fsdp":
+            from histogan_tpu.parallel import shard_state, state_shardings
+
+            if self._shardings is None:
+                self._shardings = state_shardings(state, self.mesh)
+            return shard_state(state, self.mesh, self._shardings)
+        return replicate(state, self.mesh)
+
+    def _host_state(self):
+        """Full state to host RAM (all-gathers first under FSDP)."""
+        s = self.state
+        if self.param_sharding == "fsdp":
+            from histogan_tpu.parallel import unshard
+
+            s = unshard(s, self.mesh)
+        return jax.device_get(s)
 
     def load_histogan_head(self, histogan_trainer) -> None:
         """Transplant a pretrained histoGAN's EMA head: GE.blocks[-2:] ->
@@ -167,14 +203,13 @@ class RecoloringTrainer:
         ema = jax.device_get(histogan_trainer.state.ema)
         g_src = ema["G"]
         n = histogan_trainer.cfg.num_layers
-        params_g = jax.device_get(self.state.params_g)
+        host = self._host_state()
+        params_g = dict(host.params_g)
         params_g["G"] = dict(params_g["G"])
         params_g["G"]["blocks_0"] = g_src[f"blocks_{n - 2}"]
         params_g["G"]["blocks_1"] = g_src[f"blocks_{n - 1}"]
         params_g["H"] = ema["H"]
-        self.state = replicate(
-            jax.device_get(self.state).replace(params_g=params_g), self.mesh
-        )
+        self.state = self._place(host.replace(params_g=params_g))
 
     # ------------------------------------------------------------- data
     def set_data_src(self, folder: str, sampling: bool = True) -> None:
@@ -384,7 +419,7 @@ class RecoloringTrainer:
     def save(self, num: int) -> None:
         assert self.state is not None
         # replicated state: every host holds a full copy; host 0 writes
-        host_state = jax.device_get(self.state)
+        host_state = self._host_state()
         if jax.process_index() == 0:
             self.store.save(host_state, num)
             self.cfg.write_config(self.store.config_path)
@@ -400,8 +435,8 @@ class RecoloringTrainer:
             name = latest
             print(f"continuing from previous epoch - {name}")
         self.steps = name * self.cfg.save_every
-        template = jax.device_get(self.state)
-        self.state = replicate(self.store.restore(name, template), self.mesh)
+        template = self._host_state()
+        self.state = self._place(self.store.restore(name, template))
         return 0
 
     def clear(self) -> None:

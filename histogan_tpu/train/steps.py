@@ -186,7 +186,8 @@ def merged_hinge_d_forward(models, params_d, fake_images, real_images,
     return divergence, jnp.mean(qloss.astype(jnp.float32))
 
 
-def make_train_step(models: Models, g_tx, d_tx, cfg, split: bool = False):
+def make_train_step(models: Models, g_tx, d_tx, cfg, split: bool = False,
+                    state_shardings=None):
     """Build the jitted train step.
 
     Returns step(state, batch, key, apply_gp, apply_pl) -> (state, metrics)
@@ -201,6 +202,14 @@ def make_train_step(models: Models, g_tx, d_tx, cfg, split: bool = False):
     environment's remote compile helper (BASELINE.md 512px note,
     VERDICT r2 #2). The fused form stays the default: one dispatch per
     step beats two on RPC-attached devices.
+
+    ``state_shardings`` (a pytree of NamedShardings mirroring the state,
+    from parallel.fsdp.state_shardings) pins the output state to the
+    FSDP layout: the step code is unchanged, but params/opt/EMA stay
+    sharded across the mesh and XLA inserts the weight all-gathers /
+    gradient reduce-scatters (parallel/fsdp.py). Incompatible with
+    ``split`` (the fused program is the FSDP path; the split fallback
+    targets the single-chip compile-size limit, the opposite regime).
     """
 
     accum = cfg.gradient_accumulate_every
@@ -417,6 +426,21 @@ def make_train_step(models: Models, g_tx, d_tx, cfg, split: bool = False):
         )
         return run_g_phase(state, params_d, opt_d, vq_stats, batch, k_g,
                            d_metrics, apply_pl, apply_ema)
+
+    if state_shardings is not None:
+        if split:
+            raise ValueError(
+                "param_sharding='fsdp' requires the fused step "
+                "(split_step=False): the split fallback exists for the "
+                "single-chip compile-size limit, FSDP for multi-chip state"
+            )
+        mesh = jax.tree_util.tree_leaves(state_shardings)[0].mesh
+        from jax.sharding import NamedSharding, PartitionSpec
+        metrics_sharding = NamedSharding(mesh, PartitionSpec())
+        return jax.jit(train_step,
+                       static_argnames=("apply_gp", "apply_pl", "apply_ema"),
+                       donate_argnums=(0,),
+                       out_shardings=(state_shardings, metrics_sharding))
 
     if not split:
         return jax.jit(train_step,

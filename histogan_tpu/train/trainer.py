@@ -57,12 +57,34 @@ class Trainer:
                  latent_dim=512, style_depth=8, num_devices=None, seed=42,
                  precision="fp32", sync_every=1, calculate_fid_every=None,
                  fid_num_samples=256, fid_extractor=None,
-                 device_dataset="auto", split_step=False, **_unused):
+                 device_dataset="auto", split_step=False,
+                 param_sharding="replicated", opt_state_dtype=None,
+                 **_unused):
         # sync_every: fetch step metrics every N steps instead of every
         # step (1 = reference-parity). >1 removes the per-step
         # host<->device sync (NaN rollback then triggers up to N-1 steps
         # late, reloading the same checkpoint).
         self.sync_every = max(1, int(sync_every))
+        # param_sharding: "replicated" (DP; every chip holds the full
+        # state) or "fsdp" (ZeRO-3-style — params/opt/EMA sharded over
+        # the 'data' axis, parallel/fsdp.py; the scaling path for models
+        # whose state outgrows one chip, e.g. 512px capacity-16).
+        if param_sharding not in ("replicated", "fsdp"):
+            raise ValueError(
+                f"param_sharding must be 'replicated' or 'fsdp', "
+                f"got {param_sharding!r}")
+        if param_sharding == "fsdp" and split_step:
+            raise ValueError("param_sharding='fsdp' requires the fused "
+                             "step (split_step=False)")
+        self.param_sharding = param_sharding
+        self._shardings = None
+        # opt_state_dtype: None/'fp32' (reference numerics) or 'bf16'
+        # (optimizer moments + previous-grad stored bf16; fp32 math —
+        # an HBM-traffic knob, see optim/diffgrad.py)
+        if opt_state_dtype not in (None, "fp32", "bf16"):
+            raise ValueError(f"opt_state_dtype must be None, 'fp32' or "
+                             f"'bf16', got {opt_state_dtype!r}")
+        self.opt_state_dtype = opt_state_dtype
         if aug_types is None:
             aug_types = ("translation", "cutout")
         self.cfg = HistoGANConfig(
@@ -171,8 +193,9 @@ class Trainer:
         params_d = d_vars["params"]
         vq_stats = d_vars.get("vq_stats", {})
 
-        self.g_tx = diffgrad(cfg.learning_rate, 0.5, 0.9)
-        self.d_tx = diffgrad(cfg.learning_rate, 0.5, 0.9)
+        sdt = jnp.bfloat16 if self.opt_state_dtype == "bf16" else None
+        self.g_tx = diffgrad(cfg.learning_rate, 0.5, 0.9, state_dtype=sdt)
+        self.d_tx = diffgrad(cfg.learning_rate, 0.5, 0.9, state_dtype=sdt)
         state = HistoGANState(
             step=jnp.zeros((), jnp.int32),
             params_g=params_g,
@@ -183,12 +206,34 @@ class Trainer:
             pl_mean=jnp.zeros(()),
             vq_stats=vq_stats,
         )
-        self.state = replicate(state, self.mesh)
+        self.state = self._place(state)
         self._train_step = make_train_step(self.models, self.g_tx,
                                            self.d_tx, cfg,
-                                           split=cfg.split_step)
+                                           split=cfg.split_step,
+                                           state_shardings=self._shardings)
         self._step_has_run = False
         self.av = None
+
+    def _place(self, state):
+        """Put a host/replicated state onto the mesh per param_sharding."""
+        if self.param_sharding == "fsdp":
+            from histogan_tpu.parallel import shard_state, state_shardings
+
+            if self._shardings is None:
+                self._shardings = state_shardings(state, self.mesh)
+            return shard_state(state, self.mesh, self._shardings)
+        return replicate(state, self.mesh)
+
+    def _host_state(self):
+        """Fetch the full state to host RAM (all-gathers first under
+        FSDP — works on multi-host where device_get of a sharded array
+        would touch non-addressable shards)."""
+        s = self.state
+        if self.param_sharding == "fsdp":
+            from histogan_tpu.parallel import unshard
+
+            s = unshard(s, self.mesh)
+        return jax.device_get(s)
 
     # ------------------------------------------------------------- data
     def set_data_src(self, folder: str) -> None:
@@ -242,7 +287,8 @@ class Trainer:
             self.cfg = dataclasses.replace(self.cfg, alpha=alpha)
             self._train_step = make_train_step(self.models, self.g_tx,
                                                self.d_tx, self.cfg,
-                                               split=self.cfg.split_step)
+                                               split=self.cfg.split_step,
+                                               state_shardings=self._shardings)
             self._step_has_run = False
 
         apply_gp = self.steps % 4 == 0
@@ -270,6 +316,7 @@ class Trainer:
             # compiler-shaped. A runtime error mid-training must surface
             # as-is — and would leave donated buffers deleted anyway.
             if (self.cfg.split_step or self._step_has_run
+                    or self.param_sharding == "fsdp"  # split can't FSDP
                     or not _looks_like_compile_failure(e)):
                 raise
             print(f"fused train step failed to compile "
@@ -525,7 +572,7 @@ class Trainer:
         assert self.state is not None
         # replicated state: every host holds a full local copy; only
         # host 0 writes the checkpoint files
-        host_state = jax.device_get(self.state)
+        host_state = self._host_state()
         if jax.process_index() == 0:
             self.store.save(host_state, num)
             self.write_config()
@@ -540,9 +587,9 @@ class Trainer:
             name = latest
             print(f"continuing from previous epoch - {name}")
         self.steps = name * self.cfg.save_every
-        template = jax.device_get(self.state)
+        template = self._host_state()
         restored = self.store.restore(name, template)
-        self.state = replicate(restored, self.mesh)
+        self.state = self._place(restored)
 
     def clear(self) -> None:
         self.store.clear()

@@ -153,6 +153,61 @@ def test_diffgrad_first_step_half_adam():
     assert abs(u[1] + 0.5) < 1e-3       # dfc ~ 0.5
 
 
+def test_diffgrad_bf16_state_tracks_fp32():
+    """state_dtype=bf16 stores the moment/previous-grad trees in bf16
+    (the HBM-traffic knob, optim/diffgrad.py) but keeps update math
+    fp32: updates must stay within bf16 rounding (~0.5%) of the fp32-
+    state run, state leaves must actually be bf16, and the flat and
+    per-leaf forms must agree with each other exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from histogan_tpu.optim import diffgrad
+
+    params = {
+        "a": jnp.asarray(np.random.RandomState(0).randn(4, 6), jnp.float32),
+        "b": jnp.asarray(np.random.RandomState(1).randn(9), jnp.float32),
+    }
+    tx32 = diffgrad(1e-2, 0.5, 0.9)
+    tx16 = diffgrad(1e-2, 0.5, 0.9, state_dtype=jnp.bfloat16)
+    tx16f = diffgrad(1e-2, 0.5, 0.9, state_dtype=jnp.bfloat16, flat=True)
+    s32, s16, s16f = tx32.init(params), tx16.init(params), tx16f.init(params)
+
+    for leaf in jax.tree_util.tree_leaves(
+            (s16.exp_avg, s16.exp_avg_sq, s16.previous_grad)):
+        assert leaf.dtype == jnp.bfloat16
+    assert s16f.exp_avg.dtype == jnp.bfloat16
+
+    p32 = p16 = p16f = params
+    for i in range(5):
+        g = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.random.RandomState(20 + i).randn(*x.shape),
+                                  jnp.float32), params)
+        u32, s32 = tx32.update(g, s32, p32)
+        u16, s16 = tx16.update(g, s16, p16)
+        u16f, s16f = tx16f.update(g, s16f, p16f)
+        for a, b in zip(jax.tree_util.tree_leaves(u16),
+                        jax.tree_util.tree_leaves(u32)):
+            # update magnitudes are lr-scaled; bf16 moments cost ~8
+            # mantissa bits of the stored state, not of the math
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0.05, atol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(u16),
+                        jax.tree_util.tree_leaves(u16f)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-6, atol=1e-8)
+        assert all(leaf.dtype == jnp.float32
+                   for leaf in jax.tree_util.tree_leaves(u16))
+        p32 = jax.tree_util.tree_map(jnp.add, p32, u32)
+        p16 = jax.tree_util.tree_map(jnp.add, p16, u16)
+        p16f = jax.tree_util.tree_map(jnp.add, p16f, u16f)
+
+    for a, b in zip(jax.tree_util.tree_leaves(p16),
+                    jax.tree_util.tree_leaves(p32)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0.02, atol=2e-4)
+
+
 # --------------------------------------------------------------- losses
 def test_hellinger_formula():
     rng = np.random.RandomState(0)

@@ -165,6 +165,211 @@ def test_merged_d_forward_sharded():
                                    rtol=2e-5, atol=1e-6, err_msg=k)
 
 
+def test_fsdp_step_matches_replicated():
+    """FSDP (ZeRO-3-style sharded params/opt/EMA over the 'data' axis,
+    parallel/fsdp.py) must reproduce the replicated DP step: identical
+    inputs/RNG -> identical metrics AND identical post-step parameters.
+    The step code is shared; only the layout (and therefore the
+    collectives XLA inserts) differs."""
+    from histogan_tpu.parallel import shard_state, state_shardings, unshard
+    from histogan_tpu.train.steps import make_train_step
+
+    cfg, state, step_rep = _setup(batch=8)
+    batch = _batch(cfg)
+    key = jax.random.PRNGKey(42)
+    mesh = make_mesh(8)
+    host_state = jax.device_get(state)
+
+    s_rep = replicate(host_state, mesh)
+    b = shard_batch(batch, mesh, batch_axis=1)
+    s_rep2, m_rep = step_rep(s_rep, b, key, apply_gp=True, apply_pl=True)
+
+    # fresh setup for an independent jit with pinned out_shardings
+    cfg2, state2, _ = _setup(batch=8)
+    models, g_tx, d_tx = _models_and_tx(cfg2)
+    sh = state_shardings(host_state, mesh)
+    step_fsdp = make_train_step(models, g_tx, d_tx, cfg2,
+                                state_shardings=sh)
+    s_fsdp = shard_state(host_state, mesh, sh)
+    s_fsdp2, m_fsdp = step_fsdp(s_fsdp, shard_batch(batch, mesh, batch_axis=1),
+                                key, apply_gp=True, apply_pl=True)
+
+    for k in m_rep:
+        np.testing.assert_allclose(
+            float(m_rep[k]), float(m_fsdp[k]), rtol=5e-5, atol=1e-6,
+            err_msg=f"metric {k} diverges under FSDP layout",
+        )
+    # post-step params: gather the sharded tree and compare leaf-wise
+    gathered = jax.device_get(unshard(s_fsdp2.params_g, mesh))
+    ref = jax.device_get(s_rep2.params_g)
+    flat_f, _ = jax.tree_util.tree_flatten(gathered)
+    flat_r, _ = jax.tree_util.tree_flatten(ref)
+    for a, b_ in zip(flat_f, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-5, atol=1e-6)
+
+
+def _models_and_tx(cfg):
+    S = StyleVectorizer(cfg.latent_dim, cfg.style_depth)
+    H = HistVectorizer(cfg.hist_bin, cfg.latent_dim, cfg.style_depth)
+    G = Generator(cfg.image_size, cfg.latent_dim, cfg.network_capacity)
+    D = Discriminator(cfg.image_size, cfg.network_capacity)
+    return Models(S, H, G, D), diffgrad(cfg.learning_rate, 0.5, 0.9), \
+        diffgrad(cfg.learning_rate, 0.5, 0.9)
+
+
+def test_fsdp_state_is_actually_sharded():
+    """The FSDP layout must hold ~1/n of the sharded leaves per device —
+    the memory win is the point (512px cap-16 = 12.5 GB state; BASELINE
+    512px note). Also checks the spec rule picks a divisible axis."""
+    from histogan_tpu.parallel import fsdp_spec, shard_state, state_shardings
+    from histogan_tpu.parallel.fsdp import sharded_bytes_per_device
+    from jax.sharding import PartitionSpec as P
+
+    assert fsdp_spec((3, 3, 64, 128), 8) == P(None, None, None, "data")
+    assert fsdp_spec((128, 64), 8) == P("data", None)  # largest dim wins
+    assert fsdp_spec((64, 64), 8) == P(None, "data")   # tie -> trailing
+    assert fsdp_spec((3,), 8) == P()                   # no divisible dim
+    assert fsdp_spec((), 8) == P()
+
+    _, state, _ = _setup(batch=8)
+    mesh = make_mesh(8)
+    host_state = jax.device_get(state)
+    sharded = shard_state(host_state, mesh)
+    total = sum(l.nbytes for l in jax.tree_util.tree_leaves(host_state))
+    per_dev = sharded_bytes_per_device(sharded)
+    # most bytes live in n-divisible kernels: per-device must be well
+    # under the replicated total (ideal 1/8 plus replicated odd leaves)
+    assert per_dev < 0.3 * total, (per_dev, total)
+
+    # params stay correct end-to-end: sharding spec of a conv kernel leaf
+    leaf = sharded.params_g["G"]["blocks_0"]
+    specs = {tuple(l.sharding.spec)
+             for l in jax.tree_util.tree_leaves(leaf)
+             if hasattr(l, "sharding")}
+    assert any("data" in s for s in specs), specs
+
+
+def test_rehisto_fsdp_step_matches_replicated():
+    """FSDP layout on the recoloring family: identical inputs/RNG must
+    give identical metrics vs the replicated step (GP on — the
+    second-order path must also survive the sharded-weight layout)."""
+    from histogan_tpu.models import (
+        HistVectorizer, RecoloringEncoderDecoder, RecoloringGAN,
+    )
+    from histogan_tpu.parallel import shard_state, state_shardings
+    from histogan_tpu.train.rehisto_steps import (
+        RecolorModels, make_rehisto_train_step,
+    )
+    from histogan_tpu.train.state import ReHistoGANState
+    from histogan_tpu.utils.config import ReHistoGANConfig
+
+    cfg = ReHistoGANConfig(
+        image_size=32, network_capacity=4, latent_dim=32, style_depth=2,
+        hist_bin=16, batch_size=8, gradient_accumulate_every=1,
+        variance_loss=True,
+    )
+    ED = RecoloringEncoderDecoder(cfg.image_size, cfg.network_capacity,
+                                  cfg.hist_bin, cfg.latent_dim,
+                                  cfg.style_depth)
+    H = HistVectorizer(cfg.hist_bin, cfg.latent_dim, cfg.style_depth)
+    G = RecoloringGAN(cfg.image_size, cfg.latent_dim, cfg.network_capacity)
+    D = Discriminator(cfg.image_size, cfg.network_capacity)
+    models = RecolorModels(ED, H, G, D)
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    img = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+    hist = jnp.zeros((1, 3, cfg.hist_bin, cfg.hist_bin))
+    ed_vars = ED.init(ks[0], img, hist)
+    latent, rgb = ED.apply(ed_vars, img, hist)
+    params_g = {
+        "ED": ed_vars["params"],
+        "H": H.init(ks[1], hist)["params"],
+        "G": G.init(ks[2], latent, rgb, jnp.zeros((1, cfg.latent_dim)),
+                    jnp.zeros((1, cfg.image_size, cfg.image_size, 1)))["params"],
+    }
+    params_d = D.init(ks[3], img)["params"]
+    g_tx = diffgrad(cfg.learning_rate, 0.5, 0.9)
+    d_tx = diffgrad(cfg.learning_rate, 0.5, 0.9)
+    host_state = jax.device_get(ReHistoGANState(
+        step=jnp.zeros((), jnp.int32), params_g=params_g,
+        params_d=params_d, opt_g=g_tx.init(params_g),
+        opt_d=d_tx.init(params_d),
+    ))
+
+    rng = np.random.default_rng(5)
+    b = cfg.batch_size
+    batch = {
+        "d_images": rng.random((1, b, 32, 32, 3), np.float32),
+        "d_hists": rng.random((1, b, 3, 16, 16), np.float32),
+        "g_images": rng.random((1, b, 32, 32, 3), np.float32),
+        "g_hists": rng.random((1, b, 3, 16, 16), np.float32),
+    }
+    mesh = make_mesh(8)
+    key = jax.random.PRNGKey(9)
+    hyper = dict(apply_gp=True, alpha=32.0, beta=1.5, gamma=4.0)
+
+    step_rep = make_rehisto_train_step(models, g_tx, d_tx, cfg)
+    s_rep2, m_rep = step_rep(replicate(host_state, mesh),
+                             shard_batch(batch, mesh, batch_axis=1), key,
+                             **hyper)
+
+    sh = state_shardings(host_state, mesh)
+    step_fsdp = make_rehisto_train_step(models, g_tx, d_tx, cfg,
+                                        state_shardings=sh)
+    s_fsdp2, m_fsdp = step_fsdp(shard_state(host_state, mesh, sh),
+                                shard_batch(batch, mesh, batch_axis=1), key,
+                                **hyper)
+
+    # The recoloring losses at random init are O(5e3) sums with heavy
+    # internal cancellation (variance + rec terms), so the different
+    # fp32 reduction order of the FSDP collective schedule shows up at
+    # ~1e-3 relative (measured 1.3e-3) — vs 5e-5 for the O(1..100)
+    # histoGAN metrics above.
+    for k in m_rep:
+        np.testing.assert_allclose(
+            float(m_rep[k]), float(m_fsdp[k]), rtol=5e-3, atol=1e-4,
+            err_msg=f"rehisto metric {k} diverges under FSDP layout",
+        )
+    # Parameter check, in units of the update quantum: at step 1
+    # DiffGrad's bias corrections cancel exactly —
+    # |update| = lr * dfc * |m_hat|/(sqrt(v_hat)+eps) = lr * dfc <= lr —
+    # so even a reduction-order SIGN flip of a near-zero gradient moves
+    # an element by at most 2 quanta of lr (measured: 13/9216 elements
+    # at up to 1.6 quanta, rest <= 1e-5). A real layout bug
+    # (wrong/missing collective) shifts most elements, which the
+    # fraction assertion catches.
+    from histogan_tpu.parallel import unshard
+    quantum = cfg.learning_rate
+    got = jax.device_get(unshard(s_fsdp2.params_g, mesh))
+    want = jax.device_get(s_rep2.params_g)
+    n_total = n_off = 0
+    for (path, a), b_ in zip(
+            jax.tree_util.tree_leaves_with_path(got),
+            jax.tree_util.tree_leaves(want)):
+        diff = np.abs(np.asarray(a) - np.asarray(b_))
+        assert diff.max() <= 2.05 * quantum, (
+            f"{jax.tree_util.keystr(path)}: max diff {diff.max():.3e} "
+            f"exceeds 2 update quanta ({2.05 * quantum:.3e})")
+        n_total += diff.size
+        n_off += int(np.sum(diff > 1e-5))
+    # pooled across the whole tree (small leaves make per-leaf fractions
+    # noisy): measured 0.1–0.3%; systematic divergence would be ~100%
+    assert n_off / n_total < 0.01, (
+        f"{n_off}/{n_total} = {n_off / n_total:.1%} of parameters differ "
+        f"beyond noise — systematic layout divergence")
+
+
+def test_fsdp_rejects_split_step():
+    from histogan_tpu.parallel import state_shardings
+    cfg, state, _ = _setup(batch=8)
+    models, g_tx, d_tx = _models_and_tx(cfg)
+    sh = state_shardings(jax.device_get(state), make_mesh(2))
+    with pytest.raises(ValueError, match="fused step"):
+        make_train_step(models, g_tx, d_tx, cfg, split=True,
+                        state_shardings=sh)
+
+
 def test_uint8_feed_matches_float_feed():
     """The loader ships images as uint8 (4x less H2D traffic) and the
     step dequantizes on device; both paths compute float32(u8)/255, so a
