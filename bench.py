@@ -304,6 +304,15 @@ def main():
         # reference's effective batch 16. Second headline metric.
         _extra(lambda: extras.update(fast_preset_batch64_imgs_per_sec=
             round(measure(precision, n_steps=24, batch_size=64), 2)))
+    if os.environ.get("BENCH_FAST128", "1") != "0":
+        # FASTEST measured config (r3): batch 128 + bf16 optimizer
+        # state. b128 amortizes the ~34-45 GiB batch-independent
+        # traffic further than b64 (knee: 559.6 imgs/s plain, 502
+        # schedule-amortized) and opt bf16 removes another ~2.3
+        # GiB/step. Third headline metric; fits one v5e chip.
+        _extra(lambda: extras.update(fast_preset_batch128_optbf16_imgs_per_sec=
+            round(measure(precision, n_steps=16, batch_size=128,
+                          opt_state_dtype="bf16"), 2)))
     if os.environ.get("BENCH_BATCH32", "0") == "1":
         # batch-32 config: the MXU is underfilled at the reference's
         # effective batch 16 (BASELINE.md roofline analysis); offered

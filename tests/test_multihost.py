@@ -60,6 +60,23 @@ r = np.random.default_rng(5)
 idx = r.integers(0, 6, size=4)
 want = float(images[idx].astype(np.float32).sum())
 print("DSUM", float(tot), want, flush=True)
+
+# FSDP layout on the multi-host mesh (parallel/fsdp.py): placing a host
+# tree sharded across BOTH processes' devices, and unshard's jitted
+# all-gather back to replicated — the path Trainer save/load uses,
+# where a plain device_get of the sharded tree would touch
+# non-addressable shards
+from histogan_tpu.parallel import shard_state, unshard
+from histogan_tpu.parallel.fsdp import sharded_bytes_per_device
+
+tree = {"w": np.arange(16, dtype=np.float32).reshape(4, 4),
+        "b": np.ones(3, np.float32)}
+sh = shard_state(tree, mesh)
+per_dev = sharded_bytes_per_device(sh)   # w: 4x1 shard (16 B) + b repl (12 B)
+full = jax.device_get(unshard(sh, mesh))
+ok = int(np.array_equal(full["w"], tree["w"])
+         and np.array_equal(full["b"], tree["b"]))
+print("FSDP", per_dev, ok, flush=True)
 """
 
 
@@ -107,6 +124,12 @@ def test_two_process_distributed_init(tmp_path):
         got_d, want_d = map(float, dsum_lines[-1].split()[1:3])
         assert got_d == want_d, (
             f"proc {pid}: device-dataset gather {got_d} != oracle {want_d}")
+        fsdp_lines = [l for l in out.splitlines() if l.startswith("FSDP ")]
+        assert fsdp_lines, f"proc {pid} printed no FSDP:\n{out}"
+        per_dev, ok = map(int, fsdp_lines[-1].split()[1:3])
+        # w (64 B) sharded 4-way -> 16 B + replicated b (12 B)
+        assert per_dev == 28, f"proc {pid}: FSDP per-device bytes {per_dev}"
+        assert ok == 1, f"proc {pid}: FSDP unshard round-trip mismatch"
 
 
 def test_maybe_initialize_is_noop_without_coordinator(monkeypatch):
