@@ -129,9 +129,12 @@ def measure(precision: str = "bf16", n_steps: int = 32,
     return n_steps * a * b / dt
 
 
-def measure_rehisto(precision: str = "bf16", n_steps: int = 16) -> float:
+def measure_rehisto(precision: str = "bf16", n_steps: int = 16,
+                    batch_size: int = 16, opt_state_dtype=None) -> float:
     """ReHistoGAN train step at the reference recoloring config (256px,
-    cap 16, skip-to-GAN, all losses incl. variance), device-resident."""
+    cap 16, skip-to-GAN, all losses incl. variance), device-resident.
+    ``batch_size``/``opt_state_dtype`` expose the same HBM-roofline
+    levers the histoGAN fast presets use (DESIGN.md r3 knee)."""
     from histogan_tpu.models import (
         Discriminator, HistVectorizer, RecoloringEncoderDecoder,
         RecoloringGAN,
@@ -145,7 +148,7 @@ def measure_rehisto(precision: str = "bf16", n_steps: int = 16) -> float:
     from histogan_tpu.utils.config import ReHistoGANConfig
 
     cfg = ReHistoGANConfig(
-        image_size=256, network_capacity=16, batch_size=16,
+        image_size=256, network_capacity=16, batch_size=batch_size,
         gradient_accumulate_every=1, precision=precision,
         skip_conn_to_GAN=True, variance_loss=True,
     )
@@ -172,8 +175,9 @@ def measure_rehisto(precision: str = "bf16", n_steps: int = 16) -> float:
                     pl1, pl2)["params"],
     }
     params_d = D.init(ks[3], img)["params"]
-    g_tx = diffgrad(cfg.learning_rate, 0.5, 0.9)
-    d_tx = diffgrad(cfg.learning_rate, 0.5, 0.9)
+    sdt = jnp.bfloat16 if opt_state_dtype == "bf16" else None
+    g_tx = diffgrad(cfg.learning_rate, 0.5, 0.9, state_dtype=sdt)
+    d_tx = diffgrad(cfg.learning_rate, 0.5, 0.9, state_dtype=sdt)
     state = replicate(ReHistoGANState(
         step=jnp.zeros((), jnp.int32), params_g=params_g, params_d=params_d,
         opt_g=g_tx.init(params_g), opt_d=d_tx.init(params_d),
@@ -313,6 +317,13 @@ def main():
         _extra(lambda: extras.update(fast_preset_batch128_optbf16_imgs_per_sec=
             round(measure(precision, n_steps=16, batch_size=128,
                           opt_state_dtype="bf16"), 2)))
+    if os.environ.get("BENCH_REHISTO_FAST", "0") == "1":
+        # rehisto fast preset: same HBM-roofline levers as the histoGAN
+        # presets (batch amortizes the ~fixed param/opt traffic; bf16
+        # opt state halves the optimizer share). Measured on demand.
+        _extra(lambda: extras.update(rehisto_fast_batch64_optbf16_imgs_per_sec=
+            round(measure_rehisto(precision, n_steps=12, batch_size=64,
+                                  opt_state_dtype="bf16"), 2)))
     if os.environ.get("BENCH_BATCH32", "0") == "1":
         # batch-32 config: the MXU is underfilled at the reference's
         # effective batch 16 (BASELINE.md roofline analysis); offered
@@ -327,32 +338,33 @@ def main():
         # helper — fall back to the split D/G programs (identical
         # numerics, tests/test_train.py) and label which form ran.
         def _b512():
-            # the 512px cap16 model is 680.5M params (~12.5 GB training
-            # state fp32) — one copy fits a 16 GB chip, two do not, so
+            # the 512px cap16 model is 680.5M params — the fp32 training
+            # state (~12.5 GB) only fits one 16 GB chip with
+            # BENCH_512_OPT=bf16 (opt state stored bf16, ~8 GB state),
+            # and the step only at small batch. Measured r3
+            # (scripts/probe512b.py): cap16 RUNS split-form at batch 2
+            # with the FULL schedule (plain/GP/PL all compile + execute);
+            # batch 8 is a runtime HBM OOM, not a compile failure.
             # BENCH_512_FORM=split goes straight to the split programs
-            # instead of burning an allocation on the fused attempt
-            # (which also exceeds the remote compile helper here)
+            # instead of burning an allocation on the fused attempt.
             bs = int(os.environ.get("BENCH_512_BATCH", "8"))
             cap = int(os.environ.get("BENCH_512_CAP", "16"))
+            opt = os.environ.get("BENCH_512_OPT") or None
             tag = f"imgs_per_sec_512px_batch{bs}" + (
                 f"_cap{cap}" if cap != 16 else "")
+            kw = dict(n_steps=16, batch_size=bs, image_size=512,
+                      capacity=cap, opt_state_dtype=opt)
             if os.environ.get("BENCH_512_FORM", "auto") == "split":
-                extras[tag] = round(
-                    measure(precision, n_steps=16, batch_size=bs,
-                            image_size=512, split=True, capacity=cap), 2)
+                extras[tag] = round(measure(precision, split=True, **kw), 2)
                 extras["form_512px"] = "split"
                 return
             try:
-                extras[tag] = round(
-                    measure(precision, n_steps=16, batch_size=bs,
-                            image_size=512, capacity=cap), 2)
+                extras[tag] = round(measure(precision, **kw), 2)
                 extras["form_512px"] = "fused"
             except Exception as e:  # noqa: BLE001
                 print(f"# 512px fused step failed ({type(e).__name__}); "
                       f"retrying with split D/G programs", flush=True)
-                extras[tag] = round(
-                    measure(precision, n_steps=16, batch_size=bs,
-                            image_size=512, split=True, capacity=cap), 2)
+                extras[tag] = round(measure(precision, split=True, **kw), 2)
                 extras["form_512px"] = "split"
         _extra(_b512)
     if os.environ.get("BENCH_OPT_BF16", "0") == "1":
