@@ -63,7 +63,7 @@ def train_from_folder(
     aug_prob=0.0, dataset_aug_prob=0.0, aug_types=None, seed=42,
     num_devices=None, load_pt=None, precision="fp32", sync_every=1,
     device_dataset="auto", calculate_fid_every=None, split_step=False,
-    param_sharding="replicated", opt_state_dtype=None,
+    param_sharding="replicated", opt_state_dtype=None, remat=False,
 ):
     from histogan_tpu.ops.histogram import RGBuvHistBlock
     from histogan_tpu.train import NanException, Trainer
@@ -82,6 +82,7 @@ def train_from_folder(
         device_dataset=device_dataset,
         calculate_fid_every=calculate_fid_every, split_step=split_step,
         param_sharding=param_sharding, opt_state_dtype=opt_state_dtype,
+        remat=remat,
     )
 
     if not new:
@@ -207,6 +208,10 @@ def get_args(argv=None):
              "(identical numerics; escape hatch for compiler resource "
              "limits on very large images — the Trainer also falls "
              "back to this automatically).")
+    add("--remat", type=str2bool, default=False,
+        help="Rematerialize model blocks on the backward pass "
+             "(identical numerics; trades recompute for activation "
+             "memory — enables larger batches / 512px batch sizes).")
     add("--param_sharding", default="replicated",
         choices=("replicated", "fsdp"),
         help="State layout over the device mesh: 'replicated' (DP) or "
@@ -271,6 +276,7 @@ def main(argv=None):
         split_step=args.split_step,
         param_sharding=args.param_sharding,
         opt_state_dtype=args.opt_state_dtype,
+        remat=args.remat,
     )
 
 

@@ -134,7 +134,7 @@ def train_from_folder(
     level_blending=False, post_recoloring=False,
     histogram_pool="histogram_data/histograms.npy", seed=42, load_pt=None,
     num_devices=None, precision="fp32", sync_every=1, device_dataset="auto",
-    param_sharding="replicated", opt_state_dtype=None,
+    param_sharding="replicated", opt_state_dtype=None, remat=False,
 ):
     from histogan_tpu.train import NanException, Trainer
     from histogan_tpu.train.rehisto_trainer import RecoloringTrainer
@@ -155,7 +155,7 @@ def train_from_folder(
         change_hyperparameters_after=change_hyperparameters_after, seed=seed,
         num_devices=num_devices, precision=precision, sync_every=sync_every,
         device_dataset=device_dataset, param_sharding=param_sharding,
-        opt_state_dtype=opt_state_dtype,
+        opt_state_dtype=opt_state_dtype, remat=remat,
     )
 
     def transplant():
@@ -288,6 +288,10 @@ def get_args(argv=None):
         help="Storage dtype for the DiffGrad moment/previous-grad trees "
              "(fp32 math; bf16 halves optimizer HBM traffic — "
              "optim/diffgrad.py).")
+    add("--remat", type=str2bool, default=False,
+        help="Rematerialize model blocks on the backward pass "
+             "(identical numerics; trades recompute for activation "
+             "memory — enables larger batches / resolutions).")
     add("--fq_layers", nargs="*", type=int, default=[])
     add("--fq_dict_size", type=int, default=256)
     add("--attn_layers", nargs="*", type=int, default=[])
@@ -391,6 +395,7 @@ def main(argv=None):
             args.device_dataset, "auto"),
         param_sharding=args.param_sharding,
         opt_state_dtype=args.opt_state_dtype,
+        remat=args.remat,
     )
 
 

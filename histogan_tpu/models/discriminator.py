@@ -25,6 +25,10 @@ class Discriminator(nn.Module):
     fq_dict_size: int = 256
     attn_layers: Sequence[int] = ()
     transparent: bool = False
+    # TPU-native addition: rematerialize conv blocks on backward (see
+    # models/generator.py remat note). Attention/VQ blocks stay
+    # un-rematted (VQ carries a mutable 'vq_stats' collection).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -33,12 +37,13 @@ class Discriminator(nn.Module):
             self.network_capacity * (2 ** i) for i in range(num_layers + 1)
         ]
         pairs = list(zip(filters[:-1], filters[1:]))
+        block_cls = nn.remat(DiscriminatorBlock) if self.remat else DiscriminatorBlock
 
         quantize_loss = jnp.zeros((), dtype=x.dtype)
         for ind, (_, out_chan) in enumerate(pairs):
             num_layer = ind + 1
             is_not_last = ind != (len(pairs) - 1)
-            x = DiscriminatorBlock(out_chan, downsample=is_not_last, name=f"blocks_{ind}")(x)
+            x = block_cls(out_chan, downsample=is_not_last, name=f"blocks_{ind}")(x)
             if num_layer in self.attn_layers:
                 x = RezeroResidual(out_chan, name=f"attn_{ind}_0")(x)
                 x = RezeroResidual(out_chan, name=f"attn_{ind}_1")(x)

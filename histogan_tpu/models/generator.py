@@ -34,6 +34,13 @@ class Generator(nn.Module):
     latent_dim: int = 512
     network_capacity: int = 16
     transparent: bool = False
+    # TPU-native addition (no reference analogue): rematerialize each
+    # synthesis block on the backward pass (jax.checkpoint at block
+    # boundaries). Trades recompute FLOPs — cheap, the train step is
+    # HBM-bound (DESIGN.md r3 roofline) — for activation memory,
+    # unlocking larger batches / resolutions. Param tree and numerics
+    # are unchanged (tests/test_remat.py).
+    remat: bool = False
 
     @property
     def num_layers(self) -> int:
@@ -82,7 +89,15 @@ class Generator(nn.Module):
             if block_noises is not None and block_noises[ind] is not None:
                 n1, n2 = block_noises[ind]
                 overrides.update(noise1=n1, noise2=n2)
-            block = GeneratorBlock(
+            # remat only the override-free path (positional args keep the
+            # lifted checkpoint simple; the override path is the
+            # projection tools' inference-only unroll, which never needs
+            # activation memory savings).
+            block_cls = (
+                nn.remat(GeneratorBlock) if self.remat and not overrides
+                else GeneratorBlock
+            )
+            block = block_cls(
                 self.latent_dim,
                 in_chan,
                 out_chan,

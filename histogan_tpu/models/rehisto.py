@@ -38,6 +38,8 @@ class RecoloringGAN(nn.Module):
     latent_dim: int = 512
     network_capacity: int = 16
     transparent: bool = False
+    # TPU-native addition: block-boundary remat (models/generator.py note)
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -50,15 +52,18 @@ class RecoloringGAN(nn.Module):
         latent2: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         pairs = generator_filters(self.image_size, self.network_capacity)[-2:]
+        block_cls = nn.remat(GeneratorBlock) if self.remat else GeneratorBlock
         rgb = None  # reference quirk: passed rgb is ignored (rehistoGAN.py:479)
-        x, rgb = GeneratorBlock(
+        # latent passed positionally: the lifted checkpoint is kept to
+        # positional pytree args (None is a valid empty-pytree leaf)
+        x, rgb = block_cls(
             self.latent_dim, pairs[0][0], pairs[0][1], upsample=True,
             upsample_rgb=True, rgba=self.transparent, name="blocks_0",
-        )(x, rgb, hists, input_noise, latent=latent1)
-        x, rgb = GeneratorBlock(
+        )(x, rgb, hists, input_noise, latent1)
+        x, rgb = block_cls(
             self.latent_dim, pairs[1][0], pairs[1][1], upsample=True,
             upsample_rgb=False, rgba=self.transparent, name="blocks_1",
-        )(x, rgb, hists, input_noise, latent=latent2)
+        )(x, rgb, hists, input_noise, latent2)
         return rgb
 
 
@@ -124,6 +129,8 @@ class RecoloringEncoderDecoder(nn.Module):
     style_depth: int = 8
     skip_conn_to_GAN: bool = False
     internal_hist: bool = False
+    # TPU-native addition: block-boundary remat (models/generator.py note)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, hists: Optional[jnp.ndarray] = None):
@@ -148,11 +155,14 @@ class RecoloringEncoderDecoder(nn.Module):
             h1 = TorchLinear(rev[-3], name="to_latent_1")(h_w)
             h2 = TorchLinear(rev[-2], name="to_latent_2")(h_w)
 
+        enc_cls = nn.remat(EncoderBlock) if self.remat else EncoderBlock
+        dec_cls = nn.remat(DecoderBlock) if self.remat else DecoderBlock
+
         x = TorchConv(cap, 3, padding=1, name="mapping")(x)
         x_list = []
         x_list_up = []
         for ind, (_, out_chan) in enumerate(enc_pairs):
-            x, xup = EncoderBlock(out_chan, name=f"encoder_{ind}")(x)
+            x, xup = enc_cls(out_chan, name=f"encoder_{ind}")(x)
             x_list.append(x)
             x_list_up.append(xup)
 
@@ -170,9 +180,10 @@ class RecoloringEncoderDecoder(nn.Module):
 
         rgb = None
         for ind, ((_, out_chan), prev_latent) in enumerate(zip(dec_pairs, x_list_e)):
-            x, rgb = DecoderBlock(
+            # h passed positionally (remat-friendly; see RecoloringGAN)
+            x, rgb = dec_cls(
                 out_chan, internal_hist=self.internal_hist, name=f"decoder_{ind}"
-            )(x, rgb, prev_latent, h=hists)
+            )(x, rgb, prev_latent, hists)
 
         x = TorchConv(8 * cap, 1, name="decoder_mapping")(x)
         if self.skip_conn_to_GAN:

@@ -53,7 +53,7 @@ class RecoloringTrainer:
                  style_depth=8, num_devices=None, seed=42,
                  precision="fp32", sync_every=1, device_dataset="auto",
                  param_sharding="replicated", opt_state_dtype=None,
-                 **_unused):
+                 remat=False, **_unused):
         # sync_every: fetch step metrics every N steps (same async-
         # metrics amortization as Trainer — the ~31 ms/step host sync
         # dominated the r1 e2e numbers; NaN rollback then triggers up to
@@ -90,7 +90,7 @@ class RecoloringTrainer:
             fixed_gan_weights=fixed_gan_weights, initialize_gan=initialize_gan,
             change_hyperparameters=change_hyperparameters,
             change_hyperparameters_after=change_hyperparameters_after,
-            precision=precision,
+            precision=precision, remat=bool(remat),
         )
         self.name = name
         self.results_dir = Path(results_dir)
@@ -126,13 +126,16 @@ class RecoloringTrainer:
         self.ED = RecoloringEncoderDecoder(
             cfg.image_size, cfg.network_capacity, cfg.hist_bin, cfg.latent_dim,
             cfg.style_depth, cfg.skip_conn_to_GAN, cfg.internal_hist,
+            remat=cfg.remat,
         )
         self.H = HistVectorizer(cfg.hist_bin, cfg.latent_dim, cfg.style_depth)
         self.G = RecoloringGAN(cfg.image_size, cfg.latent_dim,
-                               cfg.network_capacity, cfg.transparent)
+                               cfg.network_capacity, cfg.transparent,
+                               remat=cfg.remat)
         self.D = Discriminator(cfg.image_size, cfg.network_capacity,
                                cfg.fq_layers, cfg.fq_dict_size,
-                               cfg.attn_layers, cfg.transparent)
+                               cfg.attn_layers, cfg.transparent,
+                               remat=cfg.remat)
         self.models = RecolorModels(self.ED, self.H, self.G, self.D)
 
         ks = jax.random.split(self._next_key(), 5)

@@ -59,7 +59,7 @@ class Trainer:
                  fid_num_samples=256, fid_extractor=None,
                  device_dataset="auto", split_step=False,
                  param_sharding="replicated", opt_state_dtype=None,
-                 **_unused):
+                 remat=False, **_unused):
         # sync_every: fetch step metrics every N steps instead of every
         # step (1 = reference-parity). >1 removes the per-step
         # host<->device sync (NaN rollback then triggers up to N-1 steps
@@ -100,7 +100,7 @@ class Trainer:
             learning_rate=lr, mixed_prob=mixed_prob, aug_prob=aug_prob,
             aug_types=tuple(aug_types), dataset_aug_prob=dataset_aug_prob,
             save_every=save_every, trunc_psi=trunc_psi, precision=precision,
-            split_step=bool(split_step),
+            split_step=bool(split_step), remat=bool(remat),
         )
         self.name = name
         self.results_dir = Path(results_dir)
@@ -167,10 +167,11 @@ class Trainer:
         self.S = StyleVectorizer(cfg.latent_dim, cfg.style_depth)
         self.H = HistVectorizer(cfg.hist_bin, cfg.latent_dim, cfg.style_depth)
         self.G = Generator(cfg.image_size, cfg.latent_dim, cfg.network_capacity,
-                           cfg.transparent)
+                           cfg.transparent, remat=cfg.remat)
         self.D = Discriminator(cfg.image_size, cfg.network_capacity,
                                cfg.fq_layers, cfg.fq_dict_size,
-                               cfg.attn_layers, cfg.transparent)
+                               cfg.attn_layers, cfg.transparent,
+                               remat=cfg.remat)
         self.models = Models(self.S, self.H, self.G, self.D)
 
         k = self._next_key()

@@ -50,6 +50,12 @@ class HistoGANConfig:
     # remote compile helper (BASELINE.md). The Trainer also falls back to
     # this automatically when the fused compile fails.
     split_step: bool = False
+    # rematerialize model blocks on the backward pass (jax.checkpoint at
+    # block boundaries, models/*.py). TPU-native addition: trades cheap
+    # recompute FLOPs (the step is HBM-bound, DESIGN.md r3) for
+    # activation memory — the lever for larger batches and 512px.
+    # Numerics and the param tree are unchanged (tests/test_remat.py).
+    remat: bool = False
 
     @property
     def num_layers(self) -> int:

@@ -42,14 +42,19 @@ def run_batch(batch_size: int, variants, schedule_steps: int = 32):
     from histogan_tpu.train.steps import Models, make_train_step
     from histogan_tpu.utils.config import HistoGANConfig
 
+    # env knobs: KNEE_REMAT=1 (block remat), KNEE_OPT_BF16=1 (bf16
+    # optimizer-state storage — the 501 imgs/sec b128 preset's knob)
+    remat = os.environ.get("KNEE_REMAT", "0") == "1"
+    opt_bf16 = os.environ.get("KNEE_OPT_BF16", "0") == "1"
     cfg = HistoGANConfig(image_size=256, network_capacity=16,
                          batch_size=batch_size, gradient_accumulate_every=1,
-                         precision="bf16")
+                         precision="bf16", remat=remat)
     mesh = make_mesh()
     S = StyleVectorizer(cfg.latent_dim, cfg.style_depth)
     H = HistVectorizer(cfg.hist_bin, cfg.latent_dim, cfg.style_depth)
-    G = Generator(cfg.image_size, cfg.latent_dim, cfg.network_capacity)
-    D = Discriminator(cfg.image_size, cfg.network_capacity)
+    G = Generator(cfg.image_size, cfg.latent_dim, cfg.network_capacity,
+                  remat=remat)
+    D = Discriminator(cfg.image_size, cfg.network_capacity, remat=remat)
     models = Models(S, H, G, D)
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 5)
@@ -68,20 +73,22 @@ def run_batch(batch_size: int, variants, schedule_steps: int = 32):
     })
     params_d = jax.device_get(
         D.init(ks[3], jnp.zeros((1, cfg.image_size, cfg.image_size, 3)))["params"])
-    g_tx = diffgrad(cfg.learning_rate, 0.5, 0.9)
-    d_tx = diffgrad(cfg.learning_rate, 0.5, 0.9)
+    sdt = jnp.bfloat16 if opt_bf16 else None
+    g_tx = diffgrad(cfg.learning_rate, 0.5, 0.9, state_dtype=sdt)
+    d_tx = diffgrad(cfg.learning_rate, 0.5, 0.9, state_dtype=sdt)
+
+    # opt-state zeros built from eval_shape so storage dtype always
+    # matches the transform (fp32 or bf16)
+    zeros_of = lambda tpl: jax.tree_util.tree_map(
+        lambda sd: np.zeros(sd.shape, sd.dtype), tpl)
+    opt_tpl_g = jax.eval_shape(g_tx.init, params_g)
+    opt_tpl_d = jax.eval_shape(d_tx.init, params_d)
 
     def fresh_state():
-        z3 = lambda t: jax.tree_util.tree_map(np.zeros_like, t)
-        from histogan_tpu.optim.diffgrad import DiffGradState
-
-        mk_opt = lambda p: DiffGradState(
-            count=np.zeros((), np.int32), exp_avg=z3(p),
-            exp_avg_sq=z3(p), previous_grad=z3(p))
         return replicate(HistoGANState(
             step=np.zeros((), np.int32), params_g=params_g, params_d=params_d,
             ema=params_g,
-            opt_g=mk_opt(params_g), opt_d=mk_opt(params_d),
+            opt_g=zeros_of(opt_tpl_g), opt_d=zeros_of(opt_tpl_d),
             pl_mean=np.zeros(()),
         ), mesh)
 
@@ -153,7 +160,9 @@ def run_batch(batch_size: int, variants, schedule_steps: int = 32):
 
 def main():
     sizes = [int(x) for x in sys.argv[1:]] or [64, 128, 32]
-    print("devices:", jax.devices(), flush=True)
+    print("devices:", jax.devices(),
+          "remat:", os.environ.get("KNEE_REMAT", "0"),
+          "opt_bf16:", os.environ.get("KNEE_OPT_BF16", "0"), flush=True)
     variants = [("plain", False, False), ("+gp", True, False),
                 ("+pl", False, True), ("+gp+pl", True, True)]
     for bs in sizes:

@@ -37,7 +37,7 @@ HBM_GBPS = 819.0
 GIB = float(2 ** 30)
 
 
-def build(batch_size, precision, split):
+def build(batch_size, precision, split, remat=False):
     from histogan_tpu.models import (
         Discriminator, Generator, HistVectorizer, StyleVectorizer,
     )
@@ -49,12 +49,13 @@ def build(batch_size, precision, split):
 
     cfg = HistoGANConfig(image_size=512, network_capacity=16,
                          batch_size=batch_size, gradient_accumulate_every=1,
-                         precision=precision)
+                         precision=precision, remat=remat)
     mesh = make_mesh()
     S = StyleVectorizer(cfg.latent_dim, cfg.style_depth)
     H = HistVectorizer(cfg.hist_bin, cfg.latent_dim, cfg.style_depth)
-    G = Generator(cfg.image_size, cfg.latent_dim, cfg.network_capacity)
-    D = Discriminator(cfg.image_size, cfg.network_capacity)
+    G = Generator(cfg.image_size, cfg.latent_dim, cfg.network_capacity,
+                  remat=cfg.remat)
+    D = Discriminator(cfg.image_size, cfg.network_capacity, remat=cfg.remat)
     models = Models(S, H, G, D)
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 5)
@@ -90,9 +91,9 @@ def build(batch_size, precision, split):
     return step, state, batch, key
 
 
-def aot_section(batch_size, precision):
+def aot_section(batch_size, precision, remat=False):
     """Fused-step AOT timing, one variant at a time."""
-    step, state, batch, key = build(batch_size, precision, split=False)
+    step, state, batch, key = build(batch_size, precision, split=False, remat=remat)
     ks = jax.random.fold_in(key, 4)
     results = {}
     for label, gp, pl in (("plain", False, False), ("+gp", True, False),
@@ -135,7 +136,7 @@ def aot_section(batch_size, precision):
     return results
 
 
-def split_section(batch_size, precision):
+def split_section(batch_size, precision, remat=False):
     """Fallback when the fused AOT compile trips the remote helper:
     split-form JIT path, ONE variant per fresh state (probe512c showed
     the 8 GB donated state fragments HBM after ~5 variant switches —
@@ -146,7 +147,7 @@ def split_section(batch_size, precision):
     for label, gp, pl in (("plain", False, False), ("+gp", True, False),
                           ("+pl", False, True), ("+gp+pl", True, True)):
         try:
-            step, state, batch, key = build(batch_size, precision, split=True)
+            step, state, batch, key = build(batch_size, precision, split=True, remat=remat)
             state, m = step(state, batch, jax.random.fold_in(key, 99),
                             apply_gp=gp, apply_pl=pl, apply_ema=False)
             float(m["d_loss"])
@@ -198,14 +199,16 @@ def numeric_section(batch_size, precision, n_steps=20):
 def main():
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     precision = sys.argv[2] if len(sys.argv) > 2 else "bf16"
-    print("devices:", jax.devices(), flush=True)
-    if not aot_section(bs, precision):
-        split_section(bs, precision)
+    remat = len(sys.argv) > 3 and sys.argv[3] == "remat"
+    print("devices:", jax.devices(), "remat:", remat, flush=True)
+    if not aot_section(bs, precision, remat=remat):
+        split_section(bs, precision, remat=remat)
     # numeric sanity: bf16 went NaN in the probe at this tiny batch;
     # check fp32 (the known-clean precision for small-config smokes,
     # CLAUDE.md) on the same shapes
-    numeric_section(bs, "fp32")
-    numeric_section(bs, "bf16")
+    if not remat:  # numerics are remat-independent (tests/test_remat.py)
+        numeric_section(bs, "fp32")
+        numeric_section(bs, "bf16")
     print("DONE", flush=True)
 
 
