@@ -45,7 +45,7 @@ R1_REHISTO_FP32 = 81.4  # r1 reHistoGAN step fp32 batch 16, v5e-1
 def measure(precision: str = "bf16", n_steps: int = 32,
             batch_size: int = 16, image_size: int = 256,
             split: bool = False, capacity: int = 16,
-            opt_state_dtype=None) -> float:
+            opt_state_dtype=None, remat: bool = False) -> float:
     from histogan_tpu.models import (
         Discriminator, Generator, HistVectorizer, StyleVectorizer,
     )
@@ -58,13 +58,14 @@ def measure(precision: str = "bf16", n_steps: int = 32,
     cfg = HistoGANConfig(
         image_size=image_size, network_capacity=capacity,
         batch_size=batch_size,
-        gradient_accumulate_every=1, precision=precision,
+        gradient_accumulate_every=1, precision=precision, remat=remat,
     )
     mesh = make_mesh()
     S = StyleVectorizer(cfg.latent_dim, cfg.style_depth)
     H = HistVectorizer(cfg.hist_bin, cfg.latent_dim, cfg.style_depth)
-    G = Generator(cfg.image_size, cfg.latent_dim, cfg.network_capacity)
-    D = Discriminator(cfg.image_size, cfg.network_capacity)
+    G = Generator(cfg.image_size, cfg.latent_dim, cfg.network_capacity,
+                  remat=remat)
+    D = Discriminator(cfg.image_size, cfg.network_capacity, remat=remat)
     models = Models(S, H, G, D)
 
     key = jax.random.PRNGKey(0)
@@ -350,10 +351,15 @@ def main():
             bs = int(os.environ.get("BENCH_512_BATCH", "8"))
             cap = int(os.environ.get("BENCH_512_CAP", "16"))
             opt = os.environ.get("BENCH_512_OPT") or None
+            # BENCH_512_REMAT=1: block remat — how cap16/batch8 fits one
+            # chip (31.7 imgs/sec amortized, scripts/knee512.py; for
+            # 8 GB states prefer knee512's one-AOT-per-variant protocol
+            # over this JIT path, which fragments HBM after ~5 variants)
+            rm = os.environ.get("BENCH_512_REMAT", "0") == "1"
             tag = f"imgs_per_sec_512px_batch{bs}" + (
-                f"_cap{cap}" if cap != 16 else "")
+                f"_cap{cap}" if cap != 16 else "") + ("_remat" if rm else "")
             kw = dict(n_steps=16, batch_size=bs, image_size=512,
-                      capacity=cap, opt_state_dtype=opt)
+                      capacity=cap, opt_state_dtype=opt, remat=rm)
             if os.environ.get("BENCH_512_FORM", "auto") == "split":
                 extras[tag] = round(measure(precision, split=True, **kw), 2)
                 extras["form_512px"] = "split"
