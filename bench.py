@@ -321,10 +321,14 @@ def main():
     if os.environ.get("BENCH_REHISTO_FAST", "0") == "1":
         # rehisto fast preset: same HBM-roofline levers as the histoGAN
         # presets (batch amortizes the ~fixed param/opt traffic; bf16
-        # opt state halves the optimizer share). Measured on demand.
-        _extra(lambda: extras.update(rehisto_fast_batch64_optbf16_imgs_per_sec=
-            round(measure_rehisto(precision, n_steps=12, batch_size=64,
-                                  opt_state_dtype="bf16"), 2)))
+        # opt state halves the optimizer share). Measured: b64 251.1,
+        # b128 385.4 imgs/sec; b256 exceeds the compile helper — b128
+        # is the single-chip ceiling. Measured on demand.
+        rb = int(os.environ.get("BENCH_REHISTO_FAST_BATCH", "128"))
+        _extra(lambda: extras.update(**{
+            f"rehisto_fast_batch{rb}_optbf16_imgs_per_sec":
+            round(measure_rehisto(precision, n_steps=12, batch_size=rb,
+                                  opt_state_dtype="bf16"), 2)}))
     if os.environ.get("BENCH_BATCH32", "0") == "1":
         # batch-32 config: the MXU is underfilled at the reference's
         # effective batch 16 (BASELINE.md roofline analysis); offered
