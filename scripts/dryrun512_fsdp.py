@@ -39,6 +39,9 @@ import numpy as np
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    # "remat" as a 2nd arg: verify the 512px multi-chip recipe
+    # (--remat --param_sharding fsdp) at full size
+    remat = len(sys.argv) > 2 and sys.argv[2] == "remat"
     from histogan_tpu.models import (
         Discriminator, Generator, HistVectorizer, StyleVectorizer,
     )
@@ -54,12 +57,13 @@ def main():
     assert len(jax.devices()) == 8, jax.devices()
     cfg = HistoGANConfig(image_size=512, network_capacity=16,
                          batch_size=batch, gradient_accumulate_every=1,
-                         precision="fp32")
+                         precision="fp32", remat=remat)
     mesh = make_mesh()
     S = StyleVectorizer(cfg.latent_dim, cfg.style_depth)
     H = HistVectorizer(cfg.hist_bin, cfg.latent_dim, cfg.style_depth)
-    G = Generator(cfg.image_size, cfg.latent_dim, cfg.network_capacity)
-    D = Discriminator(cfg.image_size, cfg.network_capacity)
+    G = Generator(cfg.image_size, cfg.latent_dim, cfg.network_capacity,
+                  remat=remat)
+    D = Discriminator(cfg.image_size, cfg.network_capacity, remat=remat)
     models = Models(S, H, G, D)
 
     key = jax.random.PRNGKey(0)

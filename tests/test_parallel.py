@@ -394,3 +394,60 @@ def test_uint8_feed_matches_float_feed():
     for k in outs["u8"]:
         np.testing.assert_allclose(outs["u8"][k], outs["f32"][k],
                                    rtol=0, atol=0, err_msg=k)
+
+
+def test_fsdp_remat_step_matches_replicated():
+    """remat composes with the FSDP layout (the 512px multi-chip recipe:
+    `--remat --param_sharding fsdp`): the lifted checkpoint must not
+    perturb numerics or break GSPMD partitioning of the sharded
+    params/opt trees. Compared against the REPLICATED NON-REMAT step —
+    one test pins both axes at once."""
+    from histogan_tpu.parallel import shard_state, state_shardings, unshard
+    from histogan_tpu.train.steps import make_train_step
+
+    cfg, state, step_rep = _setup(batch=8)
+    batch = _batch(cfg)
+    key = jax.random.PRNGKey(21)
+    mesh = make_mesh(8)
+    host_state = jax.device_get(state)
+
+    s_rep = replicate(host_state, mesh)
+    b = shard_batch(batch, mesh, batch_axis=1)
+    s_rep2, m_rep = step_rep(s_rep, b, key, apply_gp=True, apply_pl=True)
+
+    # remat models (same param tree — the host_state is reused verbatim)
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, remat=True)
+    S = StyleVectorizer(cfg2.latent_dim, cfg2.style_depth)
+    H = HistVectorizer(cfg2.hist_bin, cfg2.latent_dim, cfg2.style_depth)
+    G = Generator(cfg2.image_size, cfg2.latent_dim, cfg2.network_capacity,
+                  remat=True)
+    D = Discriminator(cfg2.image_size, cfg2.network_capacity, remat=True)
+    models = Models(S, H, G, D)
+    g_tx = diffgrad(cfg2.learning_rate, 0.5, 0.9)
+    d_tx = diffgrad(cfg2.learning_rate, 0.5, 0.9)
+    sh = state_shardings(host_state, mesh)
+    step_fsdp = make_train_step(models, g_tx, d_tx, cfg2,
+                                state_shardings=sh)
+    s_fsdp = shard_state(host_state, mesh, sh)
+    s_fsdp2, m_fsdp = step_fsdp(s_fsdp, shard_batch(batch, mesh, batch_axis=1),
+                                key, apply_gp=True, apply_pl=True)
+
+    for k in m_rep:
+        np.testing.assert_allclose(
+            float(m_rep[k]), float(m_fsdp[k]), rtol=5e-5, atol=1e-6,
+            err_msg=f"metric {k} diverges under FSDP+remat",
+        )
+    # post-step params via global-norm relative error: remat recompute
+    # reassociates fp32 reductions, and DiffGrad's sign-like update turns
+    # a near-zero gradient element's float-noise sign flip into a full
+    # +-lr difference — elementwise rtol is the wrong metric for that
+    # (cf. tests/test_remat.py _grads_close)
+    gathered = jax.device_get(unshard(s_fsdp2.params_g, mesh))
+    ref = jax.device_get(s_rep2.params_g)
+    va = np.concatenate([np.asarray(x, np.float64).ravel()
+                         for x in jax.tree_util.tree_leaves(gathered)])
+    vb = np.concatenate([np.asarray(x, np.float64).ravel()
+                         for x in jax.tree_util.tree_leaves(ref)])
+    err = np.linalg.norm(va - vb) / (np.linalg.norm(vb) + 1e-12)
+    assert err < 1e-5, f"post-step param divergence {err:.3e}"
