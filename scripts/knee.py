@@ -46,7 +46,8 @@ def run_batch(batch_size: int, variants, schedule_steps: int = 32):
     # optimizer-state storage — the 501 imgs/sec b128 preset's knob)
     remat = os.environ.get("KNEE_REMAT", "0") == "1"
     opt_bf16 = os.environ.get("KNEE_OPT_BF16", "0") == "1"
-    cfg = HistoGANConfig(image_size=256, network_capacity=16,
+    size = int(os.environ.get("KNEE_SIZE", "256"))
+    cfg = HistoGANConfig(image_size=size, network_capacity=16,
                          batch_size=batch_size, gradient_accumulate_every=1,
                          precision="bf16", remat=remat)
     mesh = make_mesh()
@@ -102,7 +103,7 @@ def run_batch(batch_size: int, variants, schedule_steps: int = 32):
     a, b = 1, batch_size
     norm = lambda h: h / h.sum((2, 3, 4), keepdims=True)
     batch = shard_batch({
-        "d_images": rng.random((a, b, 256, 256, 3), np.float32),
+        "d_images": rng.random((a, b, cfg.image_size, cfg.image_size, 3), np.float32),
         "d_hists": norm(rng.random((a, b, 3, 64, 64), np.float32)),
         "g_hists": norm(rng.random((a, b, 3, 64, 64), np.float32)),
     }, mesh, batch_axis=1)
