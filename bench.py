@@ -318,7 +318,7 @@ def main():
         _extra(lambda: extras.update(fast_preset_batch128_optbf16_imgs_per_sec=
             round(measure(precision, n_steps=16, batch_size=128,
                           opt_state_dtype="bf16"), 2)))
-    if os.environ.get("BENCH_REHISTO_FAST", "0") == "1":
+    if os.environ.get("BENCH_REHISTO_FAST", "1") != "0":
         # rehisto fast preset: same HBM-roofline levers as the histoGAN
         # presets (batch amortizes the ~fixed param/opt traffic; bf16
         # opt state halves the optimizer share). Measured: b64 251.1,
