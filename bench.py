@@ -318,17 +318,22 @@ def main():
         _extra(lambda: extras.update(fast_preset_batch128_optbf16_imgs_per_sec=
             round(measure(precision, n_steps=16, batch_size=128,
                           opt_state_dtype="bf16"), 2)))
-    if os.environ.get("BENCH_REHISTO_FAST", "1") != "0":
+    if (os.environ.get("BENCH_REHISTO_FAST", "1") != "0"
+            and os.environ.get("BENCH_512", "0") != "1"):
         # rehisto fast preset: same HBM-roofline levers as the histoGAN
         # presets (batch amortizes the ~fixed param/opt traffic; bf16
         # opt state halves the optimizer share). Measured: b64 251.1,
         # b128 385.4 imgs/sec; b256 exceeds the compile helper — b128
-        # is the single-chip ceiling. Measured on demand.
-        rb = int(os.environ.get("BENCH_REHISTO_FAST_BATCH", "128"))
-        _extra(lambda: extras.update(**{
-            f"rehisto_fast_batch{rb}_optbf16_imgs_per_sec":
-            round(measure_rehisto(precision, n_steps=12, batch_size=rb,
-                                  opt_state_dtype="bf16"), 2)}))
+        # is the single-chip ceiling. Skipped when BENCH_512=1: the
+        # 512px extra's ~8 GB donated state is fragmentation-sensitive
+        # (CLAUDE.md gotcha) and must not run after another large
+        # allocation in the same process.
+        def _rehisto_fast():
+            rb = int(os.environ.get("BENCH_REHISTO_FAST_BATCH", "128"))
+            extras[f"rehisto_fast_batch{rb}_optbf16_imgs_per_sec"] = round(
+                measure_rehisto(precision, n_steps=12, batch_size=rb,
+                                opt_state_dtype="bf16"), 2)
+        _extra(_rehisto_fast)
     if os.environ.get("BENCH_BATCH32", "0") == "1":
         # batch-32 config: the MXU is underfilled at the reference's
         # effective batch 16 (BASELINE.md roofline analysis); offered

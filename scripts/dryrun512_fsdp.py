@@ -38,10 +38,11 @@ import numpy as np
 
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    # "remat" as a 2nd arg: verify the 512px multi-chip recipe
-    # (--remat --param_sharding fsdp) at full size
-    remat = len(sys.argv) > 2 and sys.argv[2] == "remat"
+    # "remat" anywhere on the command line: verify the 512px multi-chip
+    # recipe (--remat --param_sharding fsdp) at full size
+    args = [a for a in sys.argv[1:] if a != "remat"]
+    remat = "remat" in sys.argv[1:]
+    batch = int(args[0]) if args else 8
     from histogan_tpu.models import (
         Discriminator, Generator, HistVectorizer, StyleVectorizer,
     )

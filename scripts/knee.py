@@ -93,12 +93,6 @@ def run_batch(batch_size: int, variants, schedule_steps: int = 32):
             pl_mean=np.zeros(()),
         ), mesh)
 
-    # opt state structure must match tx.init exactly — verify on host
-    tpl = jax.tree_util.tree_structure(jax.eval_shape(g_tx.init, params_g))
-    got = jax.tree_util.tree_structure(fresh_state().opt_g)
-    if tpl != got:
-        raise RuntimeError(f"opt state template mismatch: {tpl} vs {got}")
-
     rng = np.random.default_rng(0)
     a, b = 1, batch_size
     norm = lambda h: h / h.sum((2, 3, 4), keepdims=True)

@@ -197,9 +197,10 @@ def numeric_section(batch_size, precision, n_steps=20):
 
 
 def main():
-    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    precision = sys.argv[2] if len(sys.argv) > 2 else "bf16"
-    remat = len(sys.argv) > 3 and sys.argv[3] == "remat"
+    args = [a for a in sys.argv[1:] if a != "remat"]
+    remat = "remat" in sys.argv[1:]
+    bs = int(args[0]) if args else 2
+    precision = args[1] if len(args) > 1 else "bf16"
     print("devices:", jax.devices(), "remat:", remat, flush=True)
     if not aot_section(bs, precision, remat=remat):
         split_section(bs, precision, remat=remat)

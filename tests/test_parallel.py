@@ -209,11 +209,12 @@ def test_fsdp_step_matches_replicated():
                                    rtol=5e-5, atol=1e-6)
 
 
-def _models_and_tx(cfg):
+def _models_and_tx(cfg, remat=False):
     S = StyleVectorizer(cfg.latent_dim, cfg.style_depth)
     H = HistVectorizer(cfg.hist_bin, cfg.latent_dim, cfg.style_depth)
-    G = Generator(cfg.image_size, cfg.latent_dim, cfg.network_capacity)
-    D = Discriminator(cfg.image_size, cfg.network_capacity)
+    G = Generator(cfg.image_size, cfg.latent_dim, cfg.network_capacity,
+                  remat=remat)
+    D = Discriminator(cfg.image_size, cfg.network_capacity, remat=remat)
     return Models(S, H, G, D), diffgrad(cfg.learning_rate, 0.5, 0.9), \
         diffgrad(cfg.learning_rate, 0.5, 0.9)
 
@@ -418,14 +419,7 @@ def test_fsdp_remat_step_matches_replicated():
     # remat models (same param tree — the host_state is reused verbatim)
     import dataclasses
     cfg2 = dataclasses.replace(cfg, remat=True)
-    S = StyleVectorizer(cfg2.latent_dim, cfg2.style_depth)
-    H = HistVectorizer(cfg2.hist_bin, cfg2.latent_dim, cfg2.style_depth)
-    G = Generator(cfg2.image_size, cfg2.latent_dim, cfg2.network_capacity,
-                  remat=True)
-    D = Discriminator(cfg2.image_size, cfg2.network_capacity, remat=True)
-    models = Models(S, H, G, D)
-    g_tx = diffgrad(cfg2.learning_rate, 0.5, 0.9)
-    d_tx = diffgrad(cfg2.learning_rate, 0.5, 0.9)
+    models, g_tx, d_tx = _models_and_tx(cfg2, remat=True)
     sh = state_shardings(host_state, mesh)
     step_fsdp = make_train_step(models, g_tx, d_tx, cfg2,
                                 state_shardings=sh)
