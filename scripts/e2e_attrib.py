@@ -35,7 +35,8 @@ def fetch(tree):
                          .astype(jnp.float32)))
 
 
-def run_family(rehisto: bool, data: str, steps: int):
+def run_family(rehisto: bool, data: str, steps: int,
+               batch: int = 16, opt: str = None):
     fam = "rehistogan" if rehisto else "histogan"
     print(f"\n==== {fam} ====", flush=True)
     if rehisto:
@@ -44,7 +45,8 @@ def run_family(rehisto: bool, data: str, steps: int):
         tr = RecoloringTrainer(
             name=f"attrib_{fam}", results_dir="/tmp/attrib_results",
             models_dir="/tmp/attrib_models", image_size=256,
-            network_capacity=16, batch_size=16, gradient_accumulate_every=1,
+            network_capacity=16, batch_size=batch,
+            gradient_accumulate_every=1, opt_state_dtype=opt,
             precision="bf16", sync_every=10 ** 9, save_every=10 ** 9,
             skip_conn_to_GAN=True, variance_loss=True,
         )
@@ -56,7 +58,8 @@ def run_family(rehisto: bool, data: str, steps: int):
         tr = Trainer(
             name=f"attrib_{fam}", results_dir="/tmp/attrib_results",
             models_dir="/tmp/attrib_models", image_size=256,
-            network_capacity=16, batch_size=16, gradient_accumulate_every=1,
+            network_capacity=16, batch_size=batch,
+            gradient_accumulate_every=1, opt_state_dtype=opt,
             precision="bf16", sync_every=10 ** 9, save_every=10 ** 9,
         )
         tr.set_data_src(data)
@@ -105,7 +108,7 @@ def run_family(rehisto: bool, data: str, steps: int):
         tr.train(**step_kwargs)
     fetch(tr.state.params_d)
     train_ms = (time.perf_counter() - t0) / steps * 1e3
-    rate = 16.0 / train_ms * 1e3
+    rate = float(batch) / train_ms * 1e3
     print(f"train() loop: {train_ms:7.2f} ms/step = {rate:.1f} imgs/s "
           f"({step_ms / train_ms * 100:.0f}% of step-only)", flush=True)
     print(f"overhead: {train_ms - step_ms:+.2f} ms/step "
@@ -118,14 +121,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=24)
     ap.add_argument("--data", default="/tmp/e2e_data")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--opt", default=None, choices=(None, "fp32", "bf16"))
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.join(ROOT, "scripts"))
     from bench_e2e import make_synthetic_dataset
 
     make_synthetic_dataset(args.data)
-    h = run_family(False, args.data, args.steps)
-    r = run_family(True, args.data, args.steps)
+    h = run_family(False, args.data, args.steps, args.batch, args.opt)
+    r = run_family(True, args.data, args.steps, args.batch, args.opt)
     print("\n==== summary (same link window) ====", flush=True)
     for fam, d in (("histogan", h), ("rehistogan", r)):
         print(f"{fam}: loader {d['loader_ms']:.1f} ms, step "

@@ -171,3 +171,34 @@ def test_trainer_remat_step(tmp_path):
     t.train(alpha=2)  # step 0 exercises gp + pl (second-order)
     assert np.isfinite(t.d_loss) and np.isfinite(t.g_loss)
     assert np.isfinite(t.h_loss)
+
+
+def test_rehisto_trainer_remat_step(tmp_path):
+    """One real recoloring train step with remat on: the ED/G/D remat
+    plumbing works through RecoloringTrainer's jitted step (gp included
+    at step 0)."""
+    from PIL import Image
+
+    from histogan_tpu.train.rehisto_trainer import RecoloringTrainer
+
+    root = tmp_path / "data"
+    root.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        Image.fromarray((rng.rand(SIZE, SIZE, 3) * 255).astype(np.uint8)).save(
+            root / f"{i}.jpg")
+
+    t = RecoloringTrainer(
+        name="remat_re", results_dir=str(tmp_path / "r"),
+        models_dir=str(tmp_path / "m"), image_size=SIZE,
+        network_capacity=CAP, latent_dim=LATENT, style_depth=2,
+        batch_size=2, gradient_accumulate_every=1, hist_bin=16,
+        skip_conn_to_GAN=True, num_devices=2, seed=0, remat=True,
+    )
+    assert t.cfg.remat
+    t.init_GAN()
+    assert t.ED.remat and t.G.remat and t.D.remat
+    t.set_data_src(str(root), sampling=True)
+    t.train(alpha=32, beta=1.5, gamma=4)
+    for v in (t.d_loss, t.g_loss, t.h_loss, t.r_loss):
+        assert np.isfinite(v)
