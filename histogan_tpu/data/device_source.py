@@ -18,9 +18,22 @@ ReHistoGAN hist_sampling=False mode. Images stay uint8 on device; the
 train step dequantizes (steps.dequantize_batch), which matches the host
 float path bit-for-bit.
 
-Not applicable when per-item augmentation needs host decode
-(dataset_aug_prob > 0) — the Trainer's auto mode falls back to the
-streaming TrainLoader then, or when the cache exceeds the HBM budget.
+Dataset augmentation: the reference applies RandomResizedCrop
+(scale 0.5-1.0, ratio 0.98-1.02) with prob ``dataset_aug_prob`` at host
+decode time (histoGAN/histoGAN.py:276-278). The "auto" mode stays
+faithful and falls back to the streaming TrainLoader then (the crop is
+taken from the aspect-preserved pre-crop image, which only the host
+has). An EXPLICIT ``device_dataset=True`` instead runs the crop+resize
+ON DEVICE from the cached center-crop square (``aug_prob`` arg below):
+crop boxes are drawn on host with the reference's exact algorithm and
+shipped in the packed float upload; the resize is a vmapped separable
+clamped bilinear that matches PIL crop+resize to <1 uint8 level
+(tests/test_data.py). Documented deviation: the crop window is limited
+to the cached SxS center square rather than the reference's full
+shorter-side-resized image — identical for square sources, a slightly
+narrower content distribution for non-square ones. In exchange the fast
+HBM-resident path composes with the README's own anti-divergence recipe
+(--dataset_aug_prob, /root/reference/README.md:98) at full speed.
 """
 
 from __future__ import annotations
@@ -66,9 +79,14 @@ def should_use_device_dataset(flag, dataset, pool,
                               _budget_scale: int = 1) -> bool:
     """Resolve the Trainer's device_dataset flag ("auto" | True | False).
 
-    Eligible iff the decoded uint8 cache exists (cache_dir was set),
-    per-item augmentation doesn't need host decode, and images + pool
-    fit the HBM budget. True with an ineligible dataset raises.
+    "auto" is eligible iff the decoded uint8 cache exists (cache_dir was
+    set), per-item augmentation doesn't need host decode
+    (dataset_aug_prob == 0 — the faithful crop needs the pre-crop
+    pixels), and images + pool fit the HBM budget. An EXPLICIT True
+    additionally accepts dataset_aug_prob > 0 by running the
+    RandomResizedCrop on device (see module docstring for the
+    documented center-square deviation); True with no cache or an
+    over-budget cache still raises.
 
     String flags are normalized ("true"/"false"/"auto", any case) and
     unknown strings raise — ``bool("false")`` is True, so passing the
@@ -90,22 +108,84 @@ def should_use_device_dataset(flag, dataset, pool,
     if flag is False:
         return False
     cache = getattr(dataset, "_cache", None)
-    eligible = (
+    fits = (
         cache is not None
-        and dataset_aug_prob == 0.0
         and (cache.nbytes + pool.pool.nbytes
              <= DEVICE_DATASET_BUDGET * _budget_scale)
     )
     if flag == "auto":
-        return eligible
-    if flag is True and not eligible:
+        return fits and dataset_aug_prob == 0.0
+    if flag is True and not fits:
         raise ValueError(
             "device_dataset=True but the dataset is not eligible (needs "
-            "a decoded cache, dataset_aug_prob=0, and <= "
+            "a decoded cache and <= "
             f"{(DEVICE_DATASET_BUDGET * _budget_scale) >> 20} MiB of "
             f"images + pool across the {_budget_scale}-device mesh)"
         )
     return bool(flag)
+
+
+def sample_crop_boxes(rng: np.random.Generator, n: int, size: int,
+                      aug_prob: float) -> np.ndarray:
+    """Host-side RandomResizedCrop parameter draws, the reference's exact
+    algorithm (torchvision get_params as mirrored in
+    dataset.ImageFolderDataset._decode: scale U(0.5,1.0) of the area,
+    log-uniform ratio in (0.98,1.02), 10 attempts, center fallback)
+    applied to the cached (size, size) square. Returns (n, 4) float32
+    rows (y0, x0, ch, cw); non-augmented draws (prob 1-aug_prob, one
+    rng.random() per item like RandomApply) are the identity box."""
+    boxes = np.empty((n, 4), np.float32)
+    boxes[:, :2] = 0.0
+    boxes[:, 2:] = size
+    area = float(size * size)
+    for k in range(n):
+        if rng.random() >= aug_prob:
+            continue
+        for _ in range(10):
+            target_area = area * rng.uniform(0.5, 1.0)
+            ar = np.exp(rng.uniform(np.log(0.98), np.log(1.02)))
+            cw = int(round(np.sqrt(target_area * ar)))
+            ch = int(round(np.sqrt(target_area / ar)))
+            if 0 < cw <= size and 0 < ch <= size:
+                i = rng.integers(0, size - ch + 1)
+                j = rng.integers(0, size - cw + 1)
+                boxes[k] = (i, j, ch, cw)
+                break
+        # all 10 attempts out of bounds -> identity (center crop of the
+        # already-square cache IS the identity)
+    return boxes
+
+
+def crop_resize_u8(img: jnp.ndarray, box: jnp.ndarray) -> jnp.ndarray:
+    """Crop ``box`` = (y0, x0, ch, cw) out of a (S, S, C) uint8 image and
+    bilinearly resize it back to (S, S) — PIL crop+resize semantics
+    (half-pixel centers, sampling clamped at the crop edges), matched to
+    <1 uint8 level in tests/test_data.py; the identity box is an exact
+    passthrough. Separable: two batched 1-D lerps of gathered rows/cols,
+    XLA-friendly static shapes (boxes are data, not shapes)."""
+    size = img.shape[0]
+    f = img.astype(jnp.float32)
+
+    def axis_interp(f, start, extent, axis):
+        i = jnp.arange(size, dtype=jnp.float32)
+        p = start + (i + 0.5) * extent / size - 0.5
+        p = jnp.clip(p, start, start + extent - 1.0)
+        lo = jnp.floor(p)
+        w = p - lo
+        lo_i = jnp.clip(lo.astype(jnp.int32), 0, size - 1)
+        hi_i = jnp.clip(lo_i + 1, 0, size - 1)
+        a = jnp.take(f, lo_i, axis=axis)
+        b = jnp.take(f, hi_i, axis=axis)
+        shape = [1] * f.ndim
+        shape[axis] = size
+        w = w.reshape(shape)
+        return a * (1.0 - w) + b * w
+
+    f = axis_interp(f, box[0], box[2], 0)
+    f = axis_interp(f, box[1], box[3], 1)
+    # the host aug path round-trips through PIL uint8 (dataset
+    # get_image_u8: rint(float*255)); keep the same wire contract
+    return jnp.clip(jnp.rint(f), 0.0, 255.0).astype(jnp.uint8)
 
 
 def take_batch(loader, mesh, staged):
@@ -144,7 +224,7 @@ class DeviceDataSource:
     def __init__(self, images: np.ndarray, pool: np.ndarray, mesh,
                  batch_size: int, accum: int, seed: int = 0,
                  self_hist: bool = False, include_g_images: bool = False,
-                 shard_cache: bool = False):
+                 shard_cache: bool = False, aug_prob: float = 0.0):
         assert images.dtype == np.uint8, "expects the decoded uint8 cache"
         n_dev = mesh.shape["data"]
         if batch_size % n_dev != 0:
@@ -162,6 +242,8 @@ class DeviceDataSource:
         self.accum = accum
         self.self_hist = self_hist
         self.include_g_images = include_g_images
+        self.aug_prob = float(aug_prob)
+        self.image_size = int(images.shape[1])
         self._rng = np.random.default_rng(seed)
         if shard_cache:
             # each device holds 1/n of the rows (budget scales with the
@@ -199,8 +281,14 @@ class DeviceDataSource:
         # gather runs replicated; XLA scatters the result over ICI)
         sharded = jax.sharding.NamedSharding(mesh, batch_spec(5, 1))
 
-        def gather_images(images, idx):
-            return images[idx].reshape(a, b, *images.shape[1:])
+        aug = self.aug_prob > 0.0  # trace-time constant: aug off keeps
+        # the compiled program (and its cache entry) byte-identical to r2
+
+        def gather_images(images, idx, boxes=None):
+            rows = images[idx]
+            if aug:
+                rows = jax.vmap(crop_resize_u8)(rows, boxes)
+            return rows.reshape(a, b, *images.shape[1:])
 
         def interp_hists(pool, idx2, r):
             h = r[:, None, None, None] * pool[idx2[0]] \
@@ -232,6 +320,10 @@ class DeviceDataSource:
         else:
             _lay(self._int_layout, "g_pair", 2 * n_items)
             _lay(self._float_layout, "g_r", n_items)
+        if aug:
+            _lay(self._float_layout, "d_crop", 4 * n_items)
+            if include_g_images:
+                _lay(self._float_layout, "g_crop", 4 * n_items)
 
         def unpack(ints, floats):
             d, off = {}, 0
@@ -241,7 +333,8 @@ class DeviceDataSource:
                 off += size
             off = 0
             for k, size in self._float_layout:
-                d[k] = floats[off:off + size]
+                v = floats[off:off + size]
+                d[k] = v.reshape(n_items, 4) if k.endswith("crop") else v
                 off += size
             return d
 
@@ -252,14 +345,16 @@ class DeviceDataSource:
         # program beats 3-4
         def make_batch(images, pool, ints, floats):
             draws = unpack(ints, floats)
-            batch = {"d_images": gather_images(images, draws["d_idx"])}
+            batch = {"d_images": gather_images(images, draws["d_idx"],
+                                               draws.get("d_crop"))}
             if self_hist:
                 batch["d_hists"] = self_hists(pool, draws["d_idx"])
             else:
                 batch["d_hists"] = interp_hists(pool, draws["d_pair"],
                                                 draws["d_r"])
             if include_g_images:
-                batch["g_images"] = gather_images(images, draws["g_idx"])
+                batch["g_images"] = gather_images(images, draws["g_idx"],
+                                                  draws.get("g_crop"))
                 if self_hist:
                     batch["g_hists"] = self_hists(pool, draws["g_idx"])
                 else:
@@ -297,6 +392,14 @@ class DeviceDataSource:
         else:
             d["g_pair"] = rng.integers(0, self.n, size=(2, n_items))
             d["g_r"] = rng.random((n_items,), dtype=np.float32)
+        if self.aug_prob > 0.0:
+            # crop draws come LAST so the aug_prob=0 rng stream (pinned
+            # by the replay tests above) is untouched
+            d["d_crop"] = sample_crop_boxes(
+                rng, n_items, self.image_size, self.aug_prob)
+            if self.include_g_images:
+                d["g_crop"] = sample_crop_boxes(
+                    rng, n_items, self.image_size, self.aug_prob)
         return d
 
     def __next__(self) -> Dict[str, jnp.ndarray]:
@@ -305,7 +408,8 @@ class DeviceDataSource:
             [np.ravel(d[k]) for k, _ in self._int_layout]).astype(np.int32)
         if self._float_layout:
             floats = np.concatenate(
-                [d[k] for k, _ in self._float_layout]).astype(np.float32)
+                [np.ravel(d[k]) for k, _ in self._float_layout]
+            ).astype(np.float32)
         else:
             floats = np.zeros((0,), np.float32)
         return self._make_batch(self._images, self._pool,

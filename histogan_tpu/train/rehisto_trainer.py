@@ -240,6 +240,8 @@ class RecoloringTrainer:
                 cfg.batch_size, cfg.gradient_accumulate_every, seed=11,
                 self_hist=not sampling, include_g_images=True,
                 shard_cache=(mode == "sharded"),
+                aug_prob=self.dataset.aug_prob,  # device-side crop when
+                # the user forced device_dataset=True with aug enabled
             )
         else:
             self.loader = TrainLoader(

@@ -264,6 +264,9 @@ class Trainer:
                 np.asarray(self.dataset._cache), self.pool.pool, self.mesh,
                 cfg.batch_size, cfg.gradient_accumulate_every, seed=7,
                 shard_cache=(mode == "sharded"),
+                # non-zero only on an EXPLICIT device_dataset=True ("auto"
+                # + aug streams): RandomResizedCrop runs on device then
+                aug_prob=self.dataset.aug_prob,
             )
         else:
             self.loader = TrainLoader(
