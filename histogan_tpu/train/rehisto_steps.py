@@ -83,6 +83,14 @@ def make_rehisto_train_step(models: RecolorModels, g_tx, d_tx, cfg,
     gauss_kernel = filters.gaussian_kernel(15, 5.0)
     rec_variant = _rec_variant(cfg.rec_loss)
 
+    if state_shardings is not None:
+        # same flatten-cotangent pin as steps.py (VERDICT r3 weak #2)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = jax.tree_util.tree_leaves(state_shardings)[0].mesh
+        models = models._replace(D=models.D.clone(
+            flatten_sharding=NamedSharding(mesh, P("data", None))))
+
     def d_loss_fn(params_d, vq_stats, fake_images, real_images, apply_gp):
         # shares steps.py's D-application helpers; the recoloring
         # Discriminator supports the same VQ blocks
