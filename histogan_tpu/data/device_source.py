@@ -27,8 +27,10 @@ has). An EXPLICIT ``device_dataset=True`` instead runs the crop+resize
 ON DEVICE from the cached center-crop square (``aug_prob`` arg below):
 crop boxes are drawn on host with the reference's exact algorithm and
 shipped in the packed float upload; the resize is a vmapped separable
-clamped bilinear that matches PIL crop+resize to <1 uint8 level
-(tests/test_data.py). Documented deviation: the crop window is limited
+clamped bilinear that matches PIL crop+resize to <=1 uint8 level (PIL's
+fixed-point bilinear coefficients account for the 1-level worst case;
+tests/test_data.py device-aug tests). Documented deviation: the crop
+window is limited
 to the cached SxS center square rather than the reference's full
 shorter-side-resized image — identical for square sources, a slightly
 narrower content distribution for non-square ones. In exchange the fast
@@ -160,9 +162,10 @@ def crop_resize_u8(img: jnp.ndarray, box: jnp.ndarray) -> jnp.ndarray:
     """Crop ``box`` = (y0, x0, ch, cw) out of a (S, S, C) uint8 image and
     bilinearly resize it back to (S, S) — PIL crop+resize semantics
     (half-pixel centers, sampling clamped at the crop edges), matched to
-    <1 uint8 level in tests/test_data.py; the identity box is an exact
-    passthrough. Separable: two batched 1-D lerps of gathered rows/cols,
-    XLA-friendly static shapes (boxes are data, not shapes)."""
+    <=1 uint8 level in tests/test_data.py (PIL's fixed-point bilinear
+    coefficients produce a 1-level worst case); the identity box is an
+    exact passthrough. Separable: two batched 1-D lerps of gathered
+    rows/cols, XLA-friendly static shapes (boxes are data, not shapes)."""
     size = img.shape[0]
     f = img.astype(jnp.float32)
 
@@ -243,6 +246,20 @@ class DeviceDataSource:
         self.self_hist = self_hist
         self.include_g_images = include_g_images
         self.aug_prob = float(aug_prob)
+        if self.aug_prob > 0.0:
+            # runtime signal for the documented deviation (ADVICE r3):
+            # the device-side RandomResizedCrop windows the cached SxS
+            # center square, not the reference's full shorter-side-
+            # resized image — identical for square sources, slightly
+            # narrower content for non-square ones (module docstring)
+            print(
+                "DeviceDataSource: device-side dataset augmentation "
+                f"(dataset_aug_prob={self.aug_prob:g}) crops the cached "
+                "center square — for non-square sources this narrows the "
+                "crop distribution vs the reference's host path "
+                "(device_dataset='auto' keeps the faithful host crop).",
+                flush=True,
+            )
         self.image_size = int(images.shape[1])
         self._rng = np.random.default_rng(seed)
         if shard_cache:

@@ -315,3 +315,132 @@ def test_device_dataset_mode_budget_scales_with_mesh(tmp_path, monkeypatch):
     # explicit True with no room still raises (existing contract)
     with pytest.raises(ValueError):
         dsrc.device_dataset_mode(True, ds, pool, mesh)
+
+
+# ---------------------------------------------------------------- device aug
+# (ADVICE r3: the device-side RandomResizedCrop path — crop_resize_u8,
+# sample_crop_boxes, the packed d_crop/g_crop layout and the aug>0 rng
+# stream — previously shipped without the tests its docstrings cited)
+
+
+def test_crop_resize_u8_matches_pil():
+    """The vmapped device crop+resize reproduces the host reference
+    (PIL crop -> BILINEAR resize, what torchvision's RandomResizedCrop
+    does on the decoded square) to <=1 uint8 level — PIL uses fixed-point
+    bilinear coefficients, so a 1-level worst case is expected."""
+    import jax
+
+    from histogan_tpu.data.device_source import (
+        crop_resize_u8, sample_crop_boxes,
+    )
+
+    size = 32
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
+    pil = Image.fromarray(img)
+
+    # identity box is an exact passthrough
+    ident = np.array([0, 0, size, size], np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(crop_resize_u8(img, ident)), img)
+
+    boxes = sample_crop_boxes(rng, 200, size, 1.0)
+    fn = jax.jit(crop_resize_u8)
+    worst = 0
+    for box in boxes:
+        y0, x0, ch, cw = (int(v) for v in box)
+        want = np.asarray(pil.crop((x0, y0, x0 + cw, y0 + ch))
+                          .resize((size, size), Image.BILINEAR))
+        got = np.asarray(fn(img, box))
+        worst = max(worst, int(np.abs(got.astype(np.int16)
+                                      - want.astype(np.int16)).max()))
+    assert worst <= 1, f"device crop+resize off by {worst} uint8 levels"
+
+
+def test_sample_crop_boxes_bounds_identity_and_rng_budget():
+    from histogan_tpu.data.device_source import sample_crop_boxes
+
+    size = 32
+    # aug_prob=0: all identity, and exactly ONE rng.random() consumed per
+    # item (RandomApply semantics) so downstream draws stay replayable
+    rng = np.random.default_rng(7)
+    boxes = sample_crop_boxes(rng, 50, size, 0.0)
+    assert (boxes == np.array([0, 0, size, size], np.float32)).all()
+    probe = rng.random()
+    rng2 = np.random.default_rng(7)
+    _ = rng2.random((50,))
+    assert probe == rng2.random()
+
+    # aug_prob=1: every box in bounds with the reference's area scale
+    rng = np.random.default_rng(8)
+    boxes = sample_crop_boxes(rng, 300, size, 1.0)
+    y0, x0, ch, cw = boxes.T
+    assert (y0 >= 0).all() and (x0 >= 0).all()
+    assert (y0 + ch <= size).all() and (x0 + cw <= size).all()
+    assert (ch > 0).all() and (cw > 0).all()
+    areas = (ch * cw) / float(size * size)
+    # target_area ~ U(0.5,1.0) * area with rounding slack
+    assert areas.min() >= 0.4 and areas.max() <= 1.0
+
+
+def test_device_aug_stream_layout_and_auto_fallback(tmp_path, capsys):
+    """aug>0 on DeviceDataSource: (a) the pre-crop rng draws are
+    byte-identical to the aug=0 stream (crop draws appended LAST), (b)
+    d_images equal crop_resize_u8 of the gathered cache rows under the
+    replayed boxes, (c) 'auto'+aug falls back to streaming while an
+    explicit True crops on device, (d) the one-time deviation notice is
+    printed (ADVICE r3)."""
+    import jax
+
+    from histogan_tpu.data import device_source as dsrc
+    from histogan_tpu.data.dataset import HistogramPool, ImageFolderDataset
+    from histogan_tpu.parallel import make_mesh
+
+    root = tmp_path / "imgs"
+    root.mkdir()
+    rng0 = np.random.RandomState(13)
+    for i in range(6):
+        Image.fromarray((rng0.rand(48, 48, 3) * 255).astype(np.uint8)).save(
+            root / f"{i}.jpg")
+    ds = ImageFolderDataset(str(root), 32, aug_prob=0.5,
+                            cache_dir=str(tmp_path / "c"))
+    pool = HistogramPool(ds.paths, hist_bin=16, cache_dir=str(tmp_path / "c"))
+    mesh = make_mesh(2)
+
+    # (c) auto + aug -> stream (host keeps the faithful pre-crop pixels);
+    # explicit True -> device placement
+    assert dsrc.device_dataset_mode("auto", ds, pool, mesh, 0.5) is None
+    assert dsrc.device_dataset_mode(True, ds, pool, mesh, 0.5) == "replicated"
+
+    cache = np.asarray(ds._cache)
+    src_aug = dsrc.DeviceDataSource(cache, pool.pool, mesh,
+                                    batch_size=4, accum=2, seed=5,
+                                    aug_prob=0.5)
+    out = capsys.readouterr().out
+    assert "center square" in out  # (d) runtime deviation notice
+    src_plain = dsrc.DeviceDataSource(cache, pool.pool, mesh,
+                                      batch_size=4, accum=2, seed=5)
+    b_aug = next(src_aug)
+    b_plain = next(src_plain)
+
+    # (a) hist draws identical: crop boxes must not perturb the stream
+    np.testing.assert_array_equal(np.asarray(b_aug["d_hists"]),
+                                  np.asarray(b_plain["d_hists"]))
+    np.testing.assert_array_equal(np.asarray(b_aug["g_hists"]),
+                                  np.asarray(b_plain["g_hists"]))
+
+    # (b) replay the full draw order on host: idx/pair/r first, crops last
+    rng = np.random.default_rng(5)
+    idx = rng.integers(0, len(ds.paths), size=8)
+    _pair = rng.integers(0, len(ds.paths), size=(2, 8))
+    _r = rng.random((8,), dtype=np.float32)
+    _gpair = rng.integers(0, len(ds.paths), size=(2, 8))
+    _gr = rng.random((8,), dtype=np.float32)
+    boxes = dsrc.sample_crop_boxes(rng, 8, 32, 0.5)
+    want = np.stack([np.asarray(dsrc.crop_resize_u8(cache[i], box))
+                     for i, box in zip(idx, boxes)])
+    np.testing.assert_array_equal(
+        np.asarray(b_aug["d_images"]).reshape(8, 32, 32, 3), want)
+    # and at least one box should be non-identity at aug_prob=0.5/n=8
+    ident = np.array([0, 0, 32, 32], np.float32)
+    assert (boxes != ident).any()
