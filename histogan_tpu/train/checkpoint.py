@@ -43,11 +43,24 @@ class CheckpointStore:
         return sorted(out)
 
     def save(self, state: Any, num: int) -> None:
+        """Save. Under a multi-process cluster this MUST be called on
+        EVERY process: orbax's Checkpointer.save runs an internal
+        all-process sync ('Checkpointer:save_start'), so a process-0-only
+        call deadlocks the cluster (found by
+        tests/test_multihost.py::test_two_process_fsdp_checkpoint_roundtrip).
+        orbax itself gates the actual file writes to process 0 for
+        host-replicated trees."""
+        import jax
         from flax import serialization
 
         path = self.path(num)
-        if path.exists():
+        if jax.process_index() == 0 and path.exists():
             shutil.rmtree(path)
+        if jax.process_count() > 1:
+            # the rmtree must complete before any process enters orbax
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt_pre_save_{num}")
         # plain nested dicts on disk — stable across pytree definitions
         self._ckptr.save(path.absolute(), serialization.to_state_dict(state))
 

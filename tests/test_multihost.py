@@ -132,6 +132,103 @@ def test_two_process_distributed_init(tmp_path):
         assert ok == 1, f"proc {pid}: FSDP unshard round-trip mismatch"
 
 
+CKPT_CHILD = r"""
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # sitecustomize workaround
+
+from histogan_tpu.parallel import (
+    make_mesh, maybe_initialize_distributed, shard_state, unshard,
+)
+from histogan_tpu.parallel.fsdp import state_shardings
+
+maybe_initialize_distributed()
+assert jax.process_count() == 2
+
+import numpy as np
+from jax.experimental import multihost_utils
+
+from histogan_tpu.train.checkpoint import CheckpointStore
+
+mesh = make_mesh()
+
+# a Trainer-shaped nested state: mixed shapes so some leaves shard on
+# the mesh axis and small ones stay replicated (parallel/fsdp.py rules)
+rng = np.random.default_rng(3)
+state = {
+    "params_g": {"S": {"kernel": rng.standard_normal((8, 8)).astype(np.float32),
+                       "bias": rng.standard_normal(8).astype(np.float32)}},
+    "opt_g": {"exp_avg": rng.standard_normal((8, 8)).astype(np.float32)},
+    "pl_mean": np.float32(0.25),
+}
+shardings = state_shardings(state, mesh)
+sharded = shard_state(state, mesh, shardings)
+
+# Trainer.save path: all-gather (multi-host-safe), then store.save on
+# EVERY process — orbax syncs internally and gates file writes to
+# host 0 (a host-0-only call deadlocks; checkpoint.py save note)
+store = CheckpointStore(os.environ["CKPT_DIR"], "mh_fsdp")
+host_state = jax.device_get(unshard(sharded, mesh))
+store.save(host_state, 1)
+multihost_utils.sync_global_devices("ckpt_saved")  # all files visible
+
+# Trainer.load path: restore on EVERY process against a host template,
+# then re-place onto the FSDP mesh
+restored = store.restore(1, host_state)
+replaced = shard_state(restored, mesh, shardings)
+
+# round-trip equality: all-gather the re-placed tree and compare to the
+# original host values, on both processes
+full = jax.device_get(unshard(replaced, mesh))
+flat0 = jax.tree_util.tree_leaves(state)
+flat1 = jax.tree_util.tree_leaves(full)
+ok = int(len(flat0) == len(flat1) and all(
+    np.array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(flat0, flat1)))
+print("ROUNDTRIP", ok, flush=True)
+"""
+
+
+def test_two_process_fsdp_checkpoint_roundtrip(tmp_path):
+    """VERDICT r3 next #7: save under FSDP on the 2-process cluster,
+    restore, assert tree equality — the reference's resume contract
+    (histoGAN/histoGAN.py:1124-1139) exercised on the exact
+    Trainer._host_state -> CheckpointStore -> _place path."""
+    script = tmp_path / "ckpt_child.py"
+    script.write_text(CKPT_CHILD)
+    port = _free_port()
+    ckpt_dir = tmp_path / "models"
+
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        repo_root = str(Path(__file__).resolve().parents[1])
+        env.update({
+            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(pid),
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+            "CKPT_DIR": str(ckpt_dir),
+            "PYTHONPATH": repo_root + os.pathsep + env.get("PYTHONPATH", ""),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)], env=env, cwd=str(Path.cwd()),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        lines = [l for l in out.splitlines() if l.startswith("ROUNDTRIP ")]
+        assert lines, f"proc {pid} printed no ROUNDTRIP:\n{out}"
+        assert lines[-1].split()[1] == "1", (
+            f"proc {pid}: FSDP checkpoint round-trip mismatch:\n{out}")
+
+
 def test_maybe_initialize_is_noop_without_coordinator(monkeypatch):
     from histogan_tpu.parallel import maybe_initialize_distributed
 
