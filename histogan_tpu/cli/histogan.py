@@ -182,7 +182,10 @@ def get_args(argv=None):
     add("--gradient_accumulate_every", type=int, default=8)
     add("--num_train_steps", type=int, default=1500000)
     add("--learning_rate", type=float, default=2e-4)
-    add("--num_workers", default=None)
+    # reference flag (torch DataLoader workers); here it sets the
+    # streaming loader's decode-prefetch depth (no-op on the default
+    # device-resident dataset path — decode happens once up front)
+    add("--num_workers", type=int, default=None)
     add("--save_every", type=int, default=5000)
     add("--generate", type=str2bool, default=False)
     add("--save_noise_latent", dest="save_n_l", type=str2bool, default=False)

@@ -135,6 +135,7 @@ def train_from_folder(
     histogram_pool="histogram_data/histograms.npy", seed=42, load_pt=None,
     num_devices=None, precision="fp32", sync_every=1, device_dataset="auto",
     param_sharding="replicated", opt_state_dtype=None, remat=False,
+    num_workers=None,
 ):
     from histogan_tpu.train import NanException, Trainer
     from histogan_tpu.train.rehisto_trainer import RecoloringTrainer
@@ -156,6 +157,7 @@ def train_from_folder(
         num_devices=num_devices, precision=precision, sync_every=sync_every,
         device_dataset=device_dataset, param_sharding=param_sharding,
         opt_state_dtype=opt_state_dtype, remat=remat,
+        num_workers=num_workers,
     )
 
     def transplant():
@@ -268,7 +270,9 @@ def get_args(argv=None):
     add("--gradient_accumulate_every", type=int, default=8)
     add("--num_train_steps", type=int, default=200000)
     add("--learning_rate", type=float, default=2e-4)
-    add("--num_workers", default=None)
+    # reference flag (torch DataLoader workers) -> streaming-loader
+    # decode-prefetch depth (train/trainer.py num_workers note)
+    add("--num_workers", type=int, default=None)
     add("--save_every", type=int, default=10000)
     add("--trunc_psi", type=float, default=0.75)
     add("--fp16", type=str2bool, default=False,
@@ -395,7 +399,7 @@ def main(argv=None):
             args.device_dataset, "auto"),
         param_sharding=args.param_sharding,
         opt_state_dtype=args.opt_state_dtype,
-        remat=args.remat,
+        remat=args.remat, num_workers=args.num_workers,
     )
 
 

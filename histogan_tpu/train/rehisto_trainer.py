@@ -53,12 +53,13 @@ class RecoloringTrainer:
                  style_depth=8, num_devices=None, seed=42,
                  precision="fp32", sync_every=1, device_dataset="auto",
                  param_sharding="replicated", opt_state_dtype=None,
-                 remat=False, **_unused):
+                 remat=False, num_workers=None, **_unused):
         # sync_every: fetch step metrics every N steps (same async-
         # metrics amortization as Trainer — the ~31 ms/step host sync
         # dominated the r1 e2e numbers; NaN rollback then triggers up to
         # N-1 steps late, reloading the same checkpoint).
         self.sync_every = max(1, int(sync_every))
+        self.num_workers = int(num_workers) if num_workers else None
         # param_sharding: "replicated" or "fsdp" (parallel/fsdp.py) —
         # same surface as Trainer.
         if param_sharding not in ("replicated", "fsdp"):
@@ -248,6 +249,9 @@ class RecoloringTrainer:
                 self.dataset, self.pool, cfg.batch_size,
                 cfg.gradient_accumulate_every, seed=11,
                 self_hist=not sampling, include_g_images=True,
+                # num_workers (reference DataLoader knob) -> prefetch
+                # depth; see train/trainer.py num_workers note
+                prefetch=max(2, self.num_workers or 0),
             )
         self._staged_batch = None  # new source -> drop any staged batch
         self._eval_rng = np.random.default_rng(99)
@@ -423,10 +427,11 @@ class RecoloringTrainer:
     # ------------------------------------------------------ persistence
     def save(self, num: int) -> None:
         assert self.state is not None
-        # replicated state: every host holds a full copy; host 0 writes
+        # store.save must run on ALL processes (orbax syncs internally
+        # and gates file writes to host 0 — train/checkpoint.py note)
         host_state = self._host_state()
+        self.store.save(host_state, num)
         if jax.process_index() == 0:
-            self.store.save(host_state, num)
             self.cfg.write_config(self.store.config_path)
 
     def load(self, num: int = -1) -> int:

