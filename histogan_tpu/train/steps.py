@@ -287,9 +287,20 @@ def make_train_step(models: Models, g_tx, d_tx, cfg, split: bool = False,
         loss = adv_loss + hist_loss
         avg_pl = jnp.zeros(())
         if apply_pl:
-            # path-length reg (histoGAN/histoGAN.py:965-975); fp32 math
+            # path-length reg (histoGAN/histoGAN.py:965-975); fp32 math.
+            # Safe-std: jnp.std's backward is (w-mean)/((N-1)*sigma),
+            # which is NaN when a w coordinate collides across the batch
+            # (sigma == 0 — happens under bf16 at small capacities) and
+            # overflows for denormal sigma. The forward stays finite, so
+            # the reference's NaN guard never fires; the reference's own
+            # torch.std has the identical hazard and relies on its
+            # rollback/retry. var + 1e-12 bounds the sqrt gradient and is
+            # numerically neutral for any realistic sigma (>= 1e-4).
             w32 = w_styles.astype(jnp.float32)
-            std = 0.1 / (jnp.std(w32, axis=0, keepdims=True, ddof=1) + EPS)
+            sigma = jnp.sqrt(
+                jnp.var(w32, axis=0, keepdims=True, ddof=1) + 1e-12
+            )
+            std = 0.1 / (sigma + EPS)
             w2 = w32 + jax.random.normal(k_pl, w32.shape) / (std + EPS)
             pl_images = models.G.apply(
                 {"params": cast_tree(params_g["G"], compute_dtype(cfg))},
