@@ -45,7 +45,8 @@ R1_REHISTO_FP32 = 81.4  # r1 reHistoGAN step fp32 batch 16, v5e-1
 def measure(precision: str = "bf16", n_steps: int = 32,
             batch_size: int = 16, image_size: int = 256,
             split: bool = False, capacity: int = 16,
-            opt_state_dtype=None, remat: bool = False) -> float:
+            opt_state_dtype=None, ema_dtype=None,
+            remat: bool = False) -> float:
     from histogan_tpu.models import (
         Discriminator, Generator, HistVectorizer, StyleVectorizer,
     )
@@ -88,7 +89,9 @@ def measure(precision: str = "bf16", n_steps: int = 32,
     state = HistoGANState(
         step=jnp.zeros((), jnp.int32),
         params_g=params_g, params_d=params_d,
-        ema=jax.tree_util.tree_map(jnp.copy, params_g),
+        ema=jax.tree_util.tree_map(
+            (lambda x: x.astype(jnp.bfloat16)) if ema_dtype == "bf16"
+            else jnp.copy, params_g),
         opt_g=g_tx.init(params_g), opt_d=d_tx.init(params_d),
         pl_mean=jnp.zeros(()),
     )
@@ -421,6 +424,18 @@ def main():
         _extra(lambda: extras.update(opt_bf16_batch64_imgs_per_sec=
             round(measure(precision, n_steps=24, batch_size=64,
                           opt_state_dtype="bf16"), 2)))
+    if os.environ.get("BENCH_EMA_BF16", "0") == "1":
+        # ema_dtype='bf16': EMA tree stored bf16 with stochastically
+        # rounded stores (ops/rounding.py) — halves the EMA read+write
+        # on the every-10th-step EMA applications and its HBM
+        # residency. Measured on top of the b128+optbf16 preset (the
+        # fastest config, where the remaining fixed traffic matters
+        # most) and at the reference batch.
+        _extra(lambda: extras.update(ema_bf16_batch128_optbf16_imgs_per_sec=
+            round(measure(precision, n_steps=16, batch_size=128,
+                          opt_state_dtype="bf16", ema_dtype="bf16"), 2)))
+        _extra(lambda: extras.update(ema_bf16_batch16_imgs_per_sec=
+            round(measure(precision, ema_dtype="bf16"), 2)))
     if os.environ.get("BENCH_PROJECTION", "1") != "0":
         _extra(lambda: extras.update(measure_projection(n_steps=40)))
     if extras:

@@ -63,7 +63,8 @@ def train_from_folder(
     aug_prob=0.0, dataset_aug_prob=0.0, aug_types=None, seed=42,
     num_devices=None, load_pt=None, precision="fp32", sync_every=1,
     device_dataset="auto", calculate_fid_every=None, split_step=False,
-    param_sharding="replicated", opt_state_dtype=None, remat=False,
+    param_sharding="replicated", opt_state_dtype=None, ema_dtype=None,
+    remat=False,
 ):
     from histogan_tpu.ops.histogram import RGBuvHistBlock
     from histogan_tpu.train import NanException, Trainer
@@ -82,7 +83,7 @@ def train_from_folder(
         device_dataset=device_dataset,
         calculate_fid_every=calculate_fid_every, split_step=split_step,
         param_sharding=param_sharding, opt_state_dtype=opt_state_dtype,
-        remat=remat,
+        ema_dtype=ema_dtype, remat=remat,
     )
 
     if not new:
@@ -226,6 +227,13 @@ def get_args(argv=None):
              "(update math stays fp32). 'bf16' halves the optimizer's "
              "HBM traffic — a perf knob for the HBM-bound step "
              "(optim/diffgrad.py); default fp32 = reference numerics.")
+    add("--ema_dtype", default=None, choices=("fp32", "bf16"),
+        help="Storage dtype for the EMA weight tree. 'bf16' halves its "
+             "HBM residency and EMA-step traffic; stores use stochastic "
+             "rounding (ops/rounding.py — plain truncation would stall "
+             "a 0.995-decay EMA below bf16's half-ulp). EMA samples "
+             "then carry ~0.4% weight quantization; default fp32 = "
+             "reference numerics.")
     add("--calculate_fid_every", type=int, default=None,
         help="Score FID on EMA samples every N steps "
              "(results/<name>/fid_scores.txt).")
@@ -279,6 +287,7 @@ def main(argv=None):
         split_step=args.split_step,
         param_sharding=args.param_sharding,
         opt_state_dtype=args.opt_state_dtype,
+        ema_dtype=args.ema_dtype,
         remat=args.remat,
     )
 

@@ -203,10 +203,17 @@ def install_into_trainer(trainer, converted: Dict) -> None:
     from histogan_tpu.parallel import replicate
 
     state = jax.device_get(trainer.state)
+    ema = converted["ema"]
+    if getattr(trainer, "ema_dtype", None) == "bf16":
+        # respect the trainer's EMA storage dtype (trainer._ema_cast)
+        import jax.numpy as jnp
+
+        ema = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x).astype(jnp.bfloat16), ema)
     state = state.replace(
         params_g=converted["params_g"],
         params_d=converted["params_d"],
-        ema=converted["ema"],
+        ema=ema,
     )
     if "vq_stats" in converted:
         state = state.replace(vq_stats=converted["vq_stats"])

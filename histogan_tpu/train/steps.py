@@ -417,9 +417,34 @@ def make_train_step(models: Models, g_tx, d_tx, cfg, split: bool = False,
         # step); when off, the donated ema buffer passes through
         # untouched. The rare reset (<=25000 every 1000, :999-1000) is
         # applied eagerly by the Trainer between steps.
+        #
+        # ema_dtype='bf16' (Trainer knob): the EMA tree is STORED bf16 —
+        # halves its read+write bytes and HBM residency. Math stays
+        # fp32, and the store uses STOCHASTIC rounding
+        # (ops/rounding.py): with decay 0.995 the per-application
+        # increment (~0.5% of the value) is below bf16's half-ulp, so a
+        # plain-truncated store would stall the EMA far from the params
+        # (tests/test_ema.py pins the failure mode); SR keeps it
+        # unbiased. The dtype test is static — the fp32 path traces the
+        # identical jaxpr it always did (compile-cache preserving).
         if apply_ema:
-            ema = jax.tree_util.tree_map(lambda e, p: e * 0.995 + 0.005 * p,
-                                         state.ema, params_g)
+            ema_leaves = jax.tree_util.tree_leaves(state.ema)
+            if ema_leaves and ema_leaves[0].dtype == jnp.bfloat16:
+                from histogan_tpu.ops.rounding import tree_stochastic_round_bf16
+
+                ema32 = jax.tree_util.tree_map(
+                    lambda e, p: e.astype(jnp.float32) * 0.995 + 0.005 * p,
+                    state.ema, params_g,
+                )
+                # fold_in, not split: the g-phase key stream is untouched,
+                # so fp32-EMA draws are bit-identical with the knob off
+                ema = tree_stochastic_round_bf16(
+                    ema32, jax.random.fold_in(k_g, 0x454D41)
+                )
+            else:
+                ema = jax.tree_util.tree_map(
+                    lambda e, p: e * 0.995 + 0.005 * p, state.ema, params_g
+                )
         else:
             ema = state.ema
 

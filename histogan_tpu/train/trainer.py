@@ -78,7 +78,7 @@ class Trainer:
                  fid_num_samples=256, fid_extractor=None,
                  device_dataset="auto", split_step=False,
                  param_sharding="replicated", opt_state_dtype=None,
-                 remat=False, num_workers=None, **_unused):
+                 ema_dtype=None, remat=False, num_workers=None, **_unused):
         # sync_every: fetch step metrics every N steps instead of every
         # step (1 = reference-parity). >1 removes the per-step
         # host<->device sync (NaN rollback then triggers up to N-1 steps
@@ -104,6 +104,18 @@ class Trainer:
             raise ValueError(f"opt_state_dtype must be None, 'fp32' or "
                              f"'bf16', got {opt_state_dtype!r}")
         self.opt_state_dtype = opt_state_dtype
+        # ema_dtype: None/'fp32' (reference numerics) or 'bf16' — the
+        # EMA tree stored bf16 with fp32 math and a STOCHASTICALLY
+        # ROUNDED store (ops/rounding.py; plain truncation would stall
+        # the 0.995-decay EMA below bf16's half-ulp). Halves the EMA's
+        # HBM residency and its read+write traffic on EMA-schedule
+        # steps; samples from EMA weights then carry bf16 (~0.4%
+        # relative) weight quantization — comparable to running
+        # inference under the bf16 policy itself.
+        if ema_dtype not in (None, "fp32", "bf16"):
+            raise ValueError(f"ema_dtype must be None, 'fp32' or "
+                             f"'bf16', got {ema_dtype!r}")
+        self.ema_dtype = ema_dtype
         # num_workers (reference: torch DataLoader workers,
         # histoGAN/histoGAN.py Trainer) maps to the streaming loader's
         # decode-prefetch queue depth here — the host pipeline is one
@@ -227,7 +239,7 @@ class Trainer:
             step=jnp.zeros((), jnp.int32),
             params_g=params_g,
             params_d=params_d,
-            ema=jax.tree_util.tree_map(jnp.copy, params_g),  # reset_parameter_averaging
+            ema=self._ema_cast(params_g),  # reset_parameter_averaging
             opt_g=self.g_tx.init(params_g),
             opt_d=self.d_tx.init(params_d),
             pl_mean=jnp.zeros(()),
@@ -373,7 +385,7 @@ class Trainer:
         self._staged_batch = stage_next_batch(self.loader, self.mesh)
         if apply_reset:  # reset_parameter_averaging, applied eagerly
             self.state = self.state.replace(
-                ema=jax.tree_util.tree_map(jnp.copy, self.state.params_g)
+                ema=self._ema_cast(self.state.params_g)
             )
 
         if self.profiler_hook is not None:
@@ -539,9 +551,28 @@ class Trainer:
         self.fid_provenance = scorer.provenance
         return self.last_fid
 
+    def _ema_cast(self, params_g):
+        """Fresh EMA tree from params (reset_parameter_averaging,
+        histoGAN/histoGAN.py:999-1000) in the configured storage dtype.
+        A reset is a single copy, not an accumulation, so
+        round-to-nearest (astype) is the right cast here; stochastic
+        rounding only matters for the repeated sub-ulp EMA increments
+        (train/steps.py)."""
+        if self.ema_dtype == "bf16":
+            return jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16), params_g)
+        return jax.tree_util.tree_map(jnp.copy, params_g)
+
     def _ema_params(self):
+        """EMA weights for sampling/eval. Stored dtype may be bf16
+        (ema_dtype knob) — upcast to fp32 so evaluation runs under the
+        configured precision policy exactly like the live params do
+        (cast_tree in steps.generate only downcasts fp32 masters)."""
         assert self.state is not None
-        return jax.tree_util.tree_map(lambda x: x, self.state.ema)
+        return jax.tree_util.tree_map(
+            lambda x: (x.astype(jnp.float32)
+                       if x.dtype == jnp.bfloat16 else x),
+            self.state.ema)
 
     def compute_av(self, params_s) -> np.ndarray:
         """Mean w over 2000 z draws (truncation center,
