@@ -37,7 +37,7 @@ HBM_GBPS = 819.0
 GIB = float(2 ** 30)
 
 
-def build(batch_size, precision, split, remat=False):
+def build(batch_size, precision, split, remat=False, ema_dtype=None):
     from histogan_tpu.models import (
         Discriminator, Generator, HistVectorizer, StyleVectorizer,
     )
@@ -76,7 +76,9 @@ def build(batch_size, precision, split, remat=False):
     d_tx = diffgrad(cfg.learning_rate, 0.5, 0.9, state_dtype=jnp.bfloat16)
     state = replicate(HistoGANState(
         step=jnp.zeros((), jnp.int32), params_g=params_g, params_d=params_d,
-        ema=jax.tree_util.tree_map(jnp.copy, params_g),
+        ema=jax.tree_util.tree_map(
+            (lambda x: x.astype(jnp.bfloat16)) if ema_dtype == 'bf16'
+            else jnp.copy, params_g),
         opt_g=g_tx.init(params_g), opt_d=d_tx.init(params_d),
         pl_mean=jnp.zeros(()),
     ), mesh)
@@ -91,9 +93,10 @@ def build(batch_size, precision, split, remat=False):
     return step, state, batch, key
 
 
-def aot_section(batch_size, precision, remat=False):
+def aot_section(batch_size, precision, remat=False, ema_dtype=None):
     """Fused-step AOT timing, one variant at a time."""
-    step, state, batch, key = build(batch_size, precision, split=False, remat=remat)
+    step, state, batch, key = build(batch_size, precision, split=False,
+                                    remat=remat, ema_dtype=ema_dtype)
     ks = jax.random.fold_in(key, 4)
     results = {}
     for label, gp, pl in (("plain", False, False), ("+gp", True, False),
@@ -201,8 +204,11 @@ def main():
     remat = "remat" in sys.argv[1:]
     bs = int(args[0]) if args else 2
     precision = args[1] if len(args) > 1 else "bf16"
-    print("devices:", jax.devices(), "remat:", remat, flush=True)
-    if not aot_section(bs, precision, remat=remat):
+    ema = os.environ.get("KNEE512_EMA") or None  # "bf16": EMA stored
+    # bf16 w/ stochastic rounding (-1.4 GiB state; DESIGN.md r4b)
+    print("devices:", jax.devices(), "remat:", remat, "ema:", ema,
+          flush=True)
+    if not aot_section(bs, precision, remat=remat, ema_dtype=ema):
         split_section(bs, precision, remat=remat)
     # numeric sanity: bf16 went NaN in the probe at this tiny batch;
     # check fp32 (the known-clean precision for small-config smokes,
