@@ -51,8 +51,13 @@ def _looks_like_compile_failure(e: Exception) -> bool:
     match. Gated further by ``_step_has_run`` at the call site: once any
     step has executed, compilation is done and this is never consulted.
     """
-    if type(e).__name__ not in ("XlaRuntimeError", "InternalError",
-                                "ResourceExhaustedError"):
+    # JaxRuntimeError is this jaxlib's name for the XLA runtime error
+    # (observed live: ``JaxRuntimeError: INTERNAL: ...remote_compile:
+    # HTTP 500: tpu_compile_helper subprocess exit code 1`` at 512px
+    # b16 fused +gp, scripts/probe512_ema.py r4); the older names are
+    # kept for jaxlib versions that still raise them.
+    if type(e).__name__ not in ("JaxRuntimeError", "XlaRuntimeError",
+                                "InternalError", "ResourceExhaustedError"):
         return False
     msg = str(e).lower()
     if "compil" in msg or "program too large" in msg:

@@ -139,7 +139,7 @@ def aot_section(batch_size, precision, remat=False, ema_dtype=None):
     return results
 
 
-def split_section(batch_size, precision, remat=False):
+def split_section(batch_size, precision, remat=False, ema_dtype=None):
     """Fallback when the fused AOT compile trips the remote helper:
     split-form JIT path, ONE variant per fresh state (probe512c showed
     the 8 GB donated state fragments HBM after ~5 variant switches —
@@ -150,7 +150,8 @@ def split_section(batch_size, precision, remat=False):
     for label, gp, pl in (("plain", False, False), ("+gp", True, False),
                           ("+pl", False, True), ("+gp+pl", True, True)):
         try:
-            step, state, batch, key = build(batch_size, precision, split=True, remat=remat)
+            step, state, batch, key = build(batch_size, precision, split=True,
+                                            remat=remat, ema_dtype=ema_dtype)
             state, m = step(state, batch, jax.random.fold_in(key, 99),
                             apply_gp=gp, apply_pl=pl, apply_ema=False)
             float(m["d_loss"])
@@ -209,7 +210,7 @@ def main():
     print("devices:", jax.devices(), "remat:", remat, "ema:", ema,
           flush=True)
     if not aot_section(bs, precision, remat=remat, ema_dtype=ema):
-        split_section(bs, precision, remat=remat)
+        split_section(bs, precision, remat=remat, ema_dtype=ema)
     # numeric sanity: bf16 went NaN in the probe at this tiny batch;
     # check fp32 (the known-clean precision for small-config smokes,
     # CLAUDE.md) on the same shapes

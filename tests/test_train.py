@@ -382,3 +382,27 @@ def test_accum1_fast_path_equals_scan():
             assert float(np.max(np.abs(a - b))) <= tol, (
                 f"leaf mismatch gp={gp}: max|d|={np.max(np.abs(a-b))}, "
                 f"scale={scale}")
+
+
+def test_compile_failure_heuristic_matches_observed_errors():
+    """The split-step fallback heuristic must match the error the dev
+    tunnel's compile helper ACTUALLY raises on this jaxlib — a
+    JaxRuntimeError (older jaxlibs: XlaRuntimeError), observed live at
+    512px b16 fused +gp (scripts/probe512_ema.py) — and must NOT match
+    ordinary runtime errors."""
+    import jax
+
+    from histogan_tpu.train.trainer import _looks_like_compile_failure
+
+    real = jax.errors.JaxRuntimeError(
+        "INTERNAL: http://127.0.0.1:8113/remote_compile: HTTP 500: "
+        "tpu_compile_helper subprocess exit code 1")
+    assert _looks_like_compile_failure(real)
+    oom = jax.errors.JaxRuntimeError(
+        "RESOURCE_EXHAUSTED: Error allocating device buffer: out of memory")
+    assert _looks_like_compile_failure(oom)
+    # wrong type: never matches even with compile-ish words
+    assert not _looks_like_compile_failure(ValueError("internal http 500"))
+    # right type, runtime-shaped message: no match
+    assert not _looks_like_compile_failure(
+        jax.errors.JaxRuntimeError("INVALID_ARGUMENT: shapes differ"))
