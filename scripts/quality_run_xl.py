@@ -43,7 +43,11 @@ def build_corpus(data_dir: Path, image_size: int) -> int:
         im = Image.open(p).convert("RGB")
         w, h = im.size
         for _ in range(CROPS_PER_SOURCE):
-            side = int(rng.integers(MIN_SIDE, min(MAX_SIDE, w, h) + 1))
+            # some bundled sources are smaller than MIN_SIDE on a side —
+            # clamp the crop range to what the image actually has
+            s_max = min(MAX_SIDE, w, h)
+            s_min = min(MIN_SIDE, s_max)
+            side = int(rng.integers(s_min, s_max + 1))
             x = int(rng.integers(0, w - side + 1))
             y = int(rng.integers(0, h - side + 1))
             crop = im.crop((x, y, x + side, y + side)).resize(
