@@ -53,6 +53,10 @@ def build_parser(default_results_dir: str) -> argparse.ArgumentParser:
     add("--swapping_levels", type=int, default=1)
     add("--pyramid_levels", type=int, default=5)
     add("--level_blending", type=str2bool, default=False)
+    # reference projection_gaussian.py:656-658 — accepted so scripts for
+    # models trained with aug_prob > 0 carry over; here the saved
+    # .config.json governs model reconstruction, so it has no effect.
+    add("--aug_prob", type=float, default=0.0)
     add("--seed", type=int, default=0)
     add("--log_every", type=int, default=1)
     return parser

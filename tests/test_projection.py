@@ -124,3 +124,18 @@ def test_run_optimization_masked_chunks_match_per_step():
     for i, loss in logs:
         assert loss == pytest.approx(ref_losses[i], rel=1e-6)
     assert saves == [3, 7]
+
+
+def test_projection_cli_accepts_full_reference_flag_surface():
+    # Every flag of reference projection_gaussian.py:573-712 parses,
+    # including --aug_prob (accepted for script compat; .config.json
+    # governs model reconstruction here).
+    from histogan_tpu.cli.projection_common import build_parser
+
+    args = build_parser("./res").parse_args([
+        "--input_image", "a.jpg", "--target_hist", "t.jpg",
+        "--aug_prob", "0.5", "--latent_noise", "True",
+        "--random_styles", "3", "4", "--vgg_loss_weight", "0.01",
+    ])
+    assert args.aug_prob == 0.5
+    assert args.random_styles == [3, 4]
