@@ -11,7 +11,14 @@ import numpy as np
 from histogan_tpu.cli.histogan import str2bool
 
 
-def build_parser(default_results_dir: str) -> argparse.ArgumentParser:
+def build_parser(default_results_dir: str,
+                 defaults: dict = None) -> argparse.ArgumentParser:
+    """Shared flag surface; ``defaults`` lets each console entry pin the
+    EXACT defaults of its reference script (the two reference scripts
+    disagree with each other on num_train_steps / save_every /
+    style_reg_weight — projection_gaussian.py:587-614 vs
+    projection_to_latent.py:632-659 — so a migrating user running a bare
+    command gets reference behavior from either entry; ADVICE r4)."""
     parser = argparse.ArgumentParser(description="Project into HistoGAN latent.")
     add = parser.add_argument
     add("--results_dir", default=default_results_dir)
@@ -24,16 +31,16 @@ def build_parser(default_results_dir: str) -> argparse.ArgumentParser:
     add("--network_capacity", type=int, default=16)
     add("--transparent", type=str2bool, default=False)
     add("--num_train_steps", type=int, default=1000)
-    add("--learning_rate", type=float, default=0.01)
+    add("--learning_rate", type=float, default=0.1)
     add("--save_every", type=int, default=100)
     add("--generate", type=str2bool, default=False)
     add("--latent_noise", type=str2bool, default=False)
-    add("--optimize_noise", type=str2bool, default=True)
+    add("--optimize_noise", type=str2bool, default=False)
     add("--add_noise", type=str2bool, default=False)
     add("--random_styles", nargs="*", type=int, default=[])
     add("--pixel_loss", default="L1")
     add("--pixel_loss_weight", type=float, default=1.0)
-    add("--vgg_loss_weight", type=float, default=0.005)
+    add("--vgg_loss_weight", type=float, default=0.001)
     add("--noise_reg_weight", type=float, default=0.0)
     add("--style_reg_weight", type=float, default=0.0)
     add("--trunc_psi", type=float, default=0.75)
@@ -45,13 +52,13 @@ def build_parser(default_results_dir: str) -> argparse.ArgumentParser:
     add("--hist_bin", type=int, default=64)
     add("--hist_insz", type=int, default=150)
     add("--hist_method", default="inverse-quadratic")
-    add("--hist_resizing", default="sampling")
+    add("--hist_resizing", default="interpolation")
     add("--hist_sigma", type=float, default=0.02)
     add("--post_recoloring", type=str2bool, default=False)
     add("--upsampling_output", type=str2bool, default=False)
     add("--upsampling_method", default="pyramid")
     add("--swapping_levels", type=int, default=1)
-    add("--pyramid_levels", type=int, default=5)
+    add("--pyramid_levels", type=int, default=6)
     add("--level_blending", type=str2bool, default=False)
     # reference projection_gaussian.py:656-658 — accepted so scripts for
     # models trained with aug_prob > 0 carry over; here the saved
@@ -59,6 +66,8 @@ def build_parser(default_results_dir: str) -> argparse.ArgumentParser:
     add("--aug_prob", type=float, default=0.0)
     add("--seed", type=int, default=0)
     add("--log_every", type=int, default=1)
+    if defaults:
+        parser.set_defaults(**defaults)
     return parser
 
 

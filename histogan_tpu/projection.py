@@ -112,7 +112,8 @@ def _forward(trainer, ema, histogram_latent, *, z_styles=None,
 
 
 def _run_optimization(loss_fn, tx, variables, opt_state, consts,
-                      num_train_steps, log_every, save_every, on_log, on_save):
+                      num_train_steps, log_every, save_every, on_log, on_save,
+                      chunk_steps=None, perf_out=None):
     """Drive the Adam loop in ``lax.scan`` chunks between host events.
 
     ``consts`` is the pytree of FROZEN arrays the loss closes over (EMA
@@ -134,8 +135,18 @@ def _run_optimization(loss_fn, tx, variables, opt_state, consts,
     log_every/save_every used to generate a distinct minutes-long remote
     compile per distinct chunk length (ADVICE r2); now every chunk hits
     the same compiled program. Inactive tail steps compute-and-discard
-    (losses on frozen variables — cheap next to a recompile)."""
+    (losses on frozen variables — cheap next to a recompile).
+
+    ``chunk_steps`` inserts extra chunk boundaries with NO host event —
+    used by bench.py to split a long run into several device dispatches.
+    ``perf_out`` (a dict) opts into steady-state timing: the window
+    opens after the FIRST chunk has synced (so tracing, persistent-cache
+    deserialization, and the first dispatch are excluded) and closes on
+    a value fetch after the last — a host-load-immune measure of the
+    optimization loop itself (VERDICT r4 weak #1; renders/jpg/npz IO
+    around the loop are not part of the window)."""
     import functools
+    import time as _time
 
     @functools.partial(jax.jit, static_argnums=4)
     def run_chunk(v, s, c, n_active, length):
@@ -157,10 +168,16 @@ def _run_optimization(loss_fn, tx, variables, opt_state, consts,
     # largest possible gap between host-event boundaries -> the single
     # static scan length every dispatch reuses
     chunk_len = min(x for x in (log_every or None, save_every,
-                                num_train_steps) if x)
+                                chunk_steps, num_train_steps) if x)
+
+    def _sync(tree):
+        # value fetch actually synchronizes (block_until_ready is a
+        # no-op on the tunneled axon platform — CLAUDE.md)
+        np.asarray(jax.tree_util.tree_leaves(tree)[0])
 
     consts = jax.device_put(consts)  # upload ONCE, not per dispatch
     t = 0
+    t_mark, steps_at_mark = None, 0
     while t < num_train_steps:
         nxt = num_train_steps
         if log_every:
@@ -168,14 +185,26 @@ def _run_optimization(loss_fn, tx, variables, opt_state, consts,
             nxt = min(nxt, u + 1)
         u_save = ((t + save_every) // save_every) * save_every - 1
         nxt = min(nxt, u_save + 1)
+        nxt = min(nxt, t + chunk_len)
         variables, opt_state, aux = run_chunk(variables, opt_state, consts,
                                               nxt - t, chunk_len)
         last = nxt - 1
+        if perf_out is not None and t_mark is None:
+            _sync(aux)  # first chunk done: tracing + cache-load paid
+            t_mark, steps_at_mark = _time.perf_counter(), nxt
         if log_every and last % log_every == 0:
             on_log(last, aux)
         if (last + 1) % save_every == 0:
             on_save(last, variables)
         t = nxt
+    if perf_out is not None and t_mark is not None:
+        _sync(aux)
+        dt = _time.perf_counter() - t_mark
+        steps = num_train_steps - steps_at_mark
+        perf_out["opt_window_steps"] = steps
+        perf_out["opt_window_seconds"] = dt
+        if steps > 0 and dt > 0:
+            perf_out["opt_steps_per_sec"] = steps / dt
     return variables, opt_state
 
 
@@ -212,7 +241,8 @@ def project_gaussian(trainer, input_image: str, *, results_dir: str,
                      noise_reg_weight: float = 0.0, style_reg_weight: float = 0.0,
                      num_train_steps: int = 10000, learning_rate: float = 2e-4,
                      pixel_loss: str = "L1", save_every: int = 500,
-                     seed: int = 0, log_every: int = 1) -> Path:
+                     seed: int = 0, log_every: int = 1,
+                     chunk_steps: int = None, perf_out: dict = None) -> Path:
     """Optimize z-space style rows (+ noise) to reconstruct
     ``input_image``; saves intermediate jpgs + npz and a final npz.
     Returns the output directory."""
@@ -332,6 +362,7 @@ def project_gaussian(trainer, input_image: str, *, results_dir: str,
     variables, opt_state = _run_optimization(
         loss_fn, tx, variables, opt_state, consts, num_train_steps,
         log_every, save_every, on_log, on_save,
+        chunk_steps=chunk_steps, perf_out=perf_out,
     )
 
     dump(variables, "final")
@@ -347,7 +378,8 @@ def project_to_latent(trainer, input_image: str, *, results_dir: str,
                       noise_reg_weight: float = 0.0, style_reg_weight: float = 0.0,
                       num_train_steps: int = 10000, learning_rate: float = 2e-4,
                       pixel_loss: str = "L1", save_every: int = 500,
-                      seed: int = 0, log_every: int = 1) -> Path:
+                      seed: int = 0, log_every: int = 1,
+                      chunk_steps: int = None, perf_out: dict = None) -> Path:
     """Optimize per-block post-projection styles directly
     (projection_to_latent.py:420-545)."""
     from histogan_tpu.ops.histogram import histogram_feature
@@ -481,6 +513,7 @@ def project_to_latent(trainer, input_image: str, *, results_dir: str,
     variables, opt_state = _run_optimization(
         loss_fn, tx, variables, opt_state, consts, num_train_steps,
         log_every, save_every, on_log, on_save,
+        chunk_steps=chunk_steps, perf_out=perf_out,
     )
 
     dump(variables, "final")

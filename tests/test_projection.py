@@ -139,3 +139,82 @@ def test_projection_cli_accepts_full_reference_flag_surface():
     ])
     assert args.aug_prob == 0.5
     assert args.random_styles == [3, 4]
+
+
+def test_projection_cli_defaults_match_each_reference_script():
+    # ADVICE r4: a migrating user running a BARE projection command must
+    # get the reference script's behavior — including where the two
+    # reference scripts disagree with each other. Defaults pinned from
+    # projection_gaussian.py:587-659 / projection_to_latent.py:632-704.
+    from histogan_tpu.cli import projection_gaussian, projection_to_latent
+    from histogan_tpu.cli.projection_common import build_parser
+
+    g = build_parser("./res",
+                     defaults=projection_gaussian.REFERENCE_DEFAULTS
+                     ).parse_args([])
+    assert (g.num_train_steps, g.learning_rate) == (1000, 0.1)
+    assert (g.save_every, g.style_reg_weight) == (2, 10.0)
+    assert g.optimize_noise is False
+    assert g.vgg_loss_weight == 0.001
+    assert g.hist_resizing == "interpolation"
+    assert g.pyramid_levels == 6
+
+    l = build_parser("./res",
+                     defaults=projection_to_latent.REFERENCE_DEFAULTS
+                     ).parse_args([])
+    assert (l.num_train_steps, l.learning_rate) == (2000, 0.1)
+    assert (l.save_every, l.style_reg_weight) == (100, 0.0)
+    assert l.optimize_noise is False
+    assert l.vgg_loss_weight == 0.001
+
+
+def test_run_optimization_chunk_steps_and_perf_window():
+    """r5 load-immune bench protocol: event-free ``chunk_steps``
+    boundaries must not change the optimization trajectory or the
+    log/save cadence, and ``perf_out`` must report a steady-state window
+    covering every step after the first chunk."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from histogan_tpu.projection import _run_optimization
+
+    tx = optax.adam(0.1)
+    target = jnp.arange(4.0)
+
+    def loss_fn(v, c):
+        loss = jnp.sum((v["x"] - c["target"]) ** 2)
+        return loss, {"loss": loss}
+
+    v0 = {"x": jnp.zeros(4)}
+    s0 = tx.init(v0)
+
+    def run(**kw):
+        logs, saves = [], []
+        v, _ = _run_optimization(
+            loss_fn, tx, v0, s0, {"target": target},
+            num_train_steps=10, log_every=3, save_every=4,
+            on_log=lambda i, aux: logs.append(i),
+            on_save=lambda i, vv: saves.append(i), **kw)
+        return v, logs, saves
+
+    base_v, base_logs, base_saves = run()
+    perf = {}
+    v, logs, saves = run(chunk_steps=2, perf_out=perf)
+    np.testing.assert_allclose(np.asarray(v["x"]), np.asarray(base_v["x"]),
+                               rtol=0, atol=1e-6)
+    assert logs == base_logs and saves == base_saves
+    # chunk 1 covers step 0 only (log boundary at 0), so the window is
+    # the remaining 9 steps
+    assert perf["opt_window_steps"] == 9
+    assert perf["opt_window_seconds"] > 0
+    assert perf["opt_steps_per_sec"] > 0
+
+    # pure chunking, no host events: window = steps after chunk 1
+    perf2 = {}
+    _run_optimization(
+        loss_fn, tx, v0, s0, {"target": target},
+        num_train_steps=10, log_every=0, save_every=10,
+        on_log=lambda i, aux: None, on_save=lambda i, vv: None,
+        chunk_steps=2, perf_out=perf2)
+    assert perf2["opt_window_steps"] == 8
