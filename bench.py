@@ -426,7 +426,8 @@ def main():
             # state (~12.5 GB) only fits one 16 GB chip with
             # BENCH_512_OPT=bf16 (opt state stored bf16, ~8 GB state),
             # and the step only at small batch. Measured r3
-            # (scripts/probe512b.py): cap16 RUNS split-form at batch 2
+            # (probe scripts, removed r5 — findings in DESIGN.md /
+            # BASELINE.md 512px notes): cap16 RUNS split-form at batch 2
             # with the FULL schedule (plain/GP/PL all compile + execute);
             # batch 8 is a runtime HBM OOM, not a compile failure.
             # BENCH_512_FORM=split goes straight to the split programs

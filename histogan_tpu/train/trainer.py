@@ -41,7 +41,8 @@ def _looks_like_compile_failure(e: Exception) -> bool:
 
     - the dev tunnel's remote compile helper rejecting a too-large
       program: ``XlaRuntimeError("INTERNAL: ... tpu_compile_helper ...
-      HTTP ... 500 ...")`` (scripts/probe512.py)
+      HTTP ... 500 ...")`` (observed live r3/r4; exact strings in
+      docs/DESIGN.md "Tunnel-specific operational notes")
     - compiler/allocator exhaustion: ``RESOURCE_EXHAUSTED`` status or an
       explicit out-of-memory/program-too-large compile message — a
       first-step HBM OOM is also worth the split retry (two half-size

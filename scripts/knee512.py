@@ -1,7 +1,8 @@
 """512px capacity-16 train-step measurement with knee.py's memory
 hygiene (one AOT compile per variant, state threaded via donation).
 
-Why this exists (r3, scripts/probe512{b,c}.py): the 512/cap16 model is
+Why this exists (r3 probe scripts, removed r5 — findings recorded in
+docs/DESIGN.md + BASELINE.md 512px notes): the 512/cap16 model is
 680.5M params; with `opt_state_dtype='bf16'` its training state (~8 GB)
 fits one v5e chip at batch 2 and every step variant compiles AND runs —
 but bench.py's JIT-path protocol OOMs from HBM fragmentation after
