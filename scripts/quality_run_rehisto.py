@@ -30,6 +30,77 @@ import numpy as np
 
 OUT = Path("/tmp/quality_run_rehisto")
 ALPHA, BETA, GAMMA = 32.0, 1.5, 2.0  # rehistoGAN.py CLI defaults
+REF_BATCH = 2  # rehistoGAN.py --batch_size default (micro-batch, accum 8)
+
+
+def hist_alpha_for_batch(alpha: float, batch: int, ref_batch: int = REF_BATCH):
+    """Batch-compensated Hellinger weight.
+
+    The reference's histogram loss (rehistoGAN.py:1011-1014) is
+    ``alpha * (1/sqrt(2)) * sqrt(sum over the WHOLE batch) / B`` — the
+    per-image gradient therefore scales as ``alpha / sqrt(B)``, while the
+    reconstruction and adversarial terms are batch-invariant means. The
+    reference regime is B=2 micro-batches; at a TPU-efficient B=32 the
+    hist term is 4x weaker relative to rec/adv, and the r5 10k run showed
+    exactly that failure: h_loss fell 4.38->2.05 by step 1.2k, then
+    adv+rec reclaimed it (h->2.8) and conditioning sensitivity collapsed
+    to 0.01 (vs 0.46 at init). ``alpha * sqrt(B/2)`` restores the
+    reference's per-image hist:rec:adv gradient balance at any batch.
+    """
+    return alpha * float(np.sqrt(batch / ref_batch))
+
+
+def make_conditioning_probe(t, image_size):
+    """Closure logging output sensitivity to the target histogram.
+
+    Recolors 4 fixed reference inputs toward the two most-different
+    bundled targets and reports (a) mean |out_t1 - out_t6| — zero means
+    the net ignores its hist input — and (b) Hellinger(hist(out), target)
+    vs Hellinger(hist(input), target) — below-input means the palette
+    actually moved toward the request.
+    """
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from histogan_tpu.cli.histogan import load_target_hist
+    from histogan_tpu.ops.histogram import RGBuvHistBlock
+
+    cfg = t.cfg
+    block = RGBuvHistBlock(insz=cfg.hist_insz, h=cfg.hist_bin,
+                           resizing=cfg.hist_resizing, method=cfg.hist_method,
+                           sigma=cfg.hist_sigma)
+    srcs = sorted(Path("/root/reference/input_images").glob("*.jpg"))[:4]
+    imgs = np.stack([
+        np.asarray(Image.open(p).convert("RGB").resize(
+            (image_size, image_size), Image.LANCZOS), np.float32) / 255.0
+        for p in srcs])
+    tdir = Path("/root/reference/target_images")
+    h1 = np.repeat(load_target_hist(str(tdir / "1.jpg"), block), 4, axis=0)
+    h6 = np.repeat(load_target_hist(str(tdir / "6.jpg"), block), 4, axis=0)
+
+    def hell(a_hist, b_hist):  # mean per-image Hellinger/sqrt(2) in [0,1]
+        d = np.sqrt(np.maximum(a_hist, 0)) - np.sqrt(np.maximum(b_hist, 0))
+        return float(np.mean(np.sqrt((d ** 2).sum(axis=(1, 2, 3)) / 2.0)))
+
+    in_hists = np.asarray(block(imgs))
+    base = {"hell_in_t1": hell(in_hists, h1), "hell_in_t6": hell(in_hists, h6)}
+
+    def probe(step):
+        o1 = np.asarray(jnp.clip(t._recolor(jnp.asarray(imgs),
+                                            jnp.asarray(h1)), 0, 1))
+        o6 = np.asarray(jnp.clip(t._recolor(jnp.asarray(imgs),
+                                            jnp.asarray(h6)), 0, 1))
+        rec = {
+            "probe_step": step,
+            "sens_L1": round(float(np.mean(np.abs(o1 - o6))), 4),
+            "hell_out_t1": round(hell(np.asarray(block(o1)), h1), 4),
+            "hell_out_t6": round(hell(np.asarray(block(o6)), h6), 4),
+            **{k: round(v, 4) for k, v in base.items()},
+        }
+        print(json.dumps(rec), flush=True)
+        return rec
+
+    return probe
 
 
 def final_demo(t, image_size):
@@ -62,8 +133,12 @@ def final_demo(t, image_size):
 
 
 def main():
-    argv = [a for a in sys.argv[1:] if a != "--resume"]
+    argv = [a for a in sys.argv[1:]
+            if a not in ("--resume", "--ref_alpha")]
     resume = "--resume" in sys.argv
+    # --ref_alpha: use the raw reference alpha (the r5 10k run showed it
+    # under-weights the hist term ~4x at batch 32; see hist_alpha_for_batch)
+    ref_alpha = "--ref_alpha" in sys.argv
     steps = int(argv[0]) if len(argv) > 0 else 10000
     batch = int(argv[1]) if len(argv) > 1 else 32
     image_size = 128
@@ -99,13 +174,19 @@ def main():
         print(f"resumed at step {t.steps}", flush=True)
     t.set_data_src(str(data_dir), sampling=True)
 
+    alpha = ALPHA if ref_alpha else hist_alpha_for_batch(ALPHA, batch)
+    print(json.dumps({"alpha": alpha, "beta": BETA, "gamma": GAMMA,
+                      "batch": batch,
+                      "alpha_batch_compensated": not ref_alpha}), flush=True)
+    probe = make_conditioning_probe(t, image_size)
+
     t0 = time.time()
     last = t0
     nan_retries = 0
     start_step = t.steps
     for i in range(start_step, steps):
         try:
-            t.train(alpha=ALPHA, beta=BETA, gamma=GAMMA)
+            t.train(alpha=alpha, beta=BETA, gamma=GAMMA)
         except NanException:
             nan_retries += 1
             print(json.dumps({"step": i, "nan_rollback": nan_retries}),
@@ -121,12 +202,15 @@ def main():
                 "var": round(t.var_loss, 4), "gp": round(t.last_gp_loss, 4),
                 "imgs_per_sec": round(rate, 1),
                 "elapsed_s": round(now - t0, 1)}), flush=True)
+        if i and i % 2000 == 0:
+            probe(i)
     dt = time.time() - t0
     done = steps - start_step
     if done:
         print(f"{done} steps in {dt / 60:.1f} min -> "
               f"{done * batch / dt:.1f} imgs/sec end-to-end", flush=True)
     t.save(steps // t.cfg.save_every)
+    probe(steps)
     final_demo(t, image_size)
 
 

@@ -218,6 +218,30 @@ def test_hellinger_formula():
     assert abs(got - want) < 1e-5
 
 
+def test_hellinger_per_image_weight_shrinks_as_inv_sqrt_batch():
+    """Documents the reference loss's batch-scaling hazard (DESIGN.md
+    "Hellinger loss batch scaling"): sqrt-of-batch-sum / B means a batch
+    of B identical pairs scores 1/sqrt(B) of the single-pair loss, so
+    the per-image hist gradient dilutes at large batch while rec/adv
+    (means) do not. quality_run_rehisto.py::hist_alpha_for_batch
+    compensates with alpha * sqrt(B / 2)."""
+    rng = np.random.RandomState(1)
+    t = rng.rand(1, 3, 8, 8).astype(np.float32)
+    g = rng.rand(1, 3, 8, 8).astype(np.float32)
+    one = float(losses.hellinger_histogram_loss(t, g, alpha=32.0))
+    for b in (2, 16, 32):
+        rep = float(losses.hellinger_histogram_loss(
+            np.repeat(t, b, 0), np.repeat(g, b, 0), alpha=32.0))
+        np.testing.assert_allclose(rep, one / np.sqrt(b), rtol=1e-5)
+    # the compensation restores the single-pair magnitude up to the
+    # reference's own B=2 baseline factor
+    comp = float(losses.hellinger_histogram_loss(
+        np.repeat(t, 32, 0), np.repeat(g, 32, 0),
+        alpha=32.0 * np.sqrt(32 / 2)))
+    np.testing.assert_allclose(
+        comp, one / np.sqrt(2), rtol=1e-5)
+
+
 def test_hinge_divergence():
     real = jnp.asarray([-2.0, 0.5])
     fake = jnp.asarray([3.0, 0.0])
