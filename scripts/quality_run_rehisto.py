@@ -86,10 +86,18 @@ def make_conditioning_probe(t, image_size):
     base = {"hell_in_t1": hell(in_hists, h1), "hell_in_t6": hell(in_hists, h6)}
 
     def probe(step):
+        # float32 BEFORE any reduction: _recolor returns bf16, and
+        # numpy reduces bf16 arrays with a bf16 accumulator — the sum
+        # saturates at ~256, so np.mean over a (4,128,128,3) grid
+        # reports ~256/196608 = 0.0013 REGARDLESS of content (measured
+        # r5; the r5 15k run's in-run sens_L1 column shows exactly
+        # that constant and is invalid — true final sens was 0.187).
         o1 = np.asarray(jnp.clip(t._recolor(jnp.asarray(imgs),
-                                            jnp.asarray(h1)), 0, 1))
+                                            jnp.asarray(h1)), 0, 1),
+                        np.float32)
         o6 = np.asarray(jnp.clip(t._recolor(jnp.asarray(imgs),
-                                            jnp.asarray(h6)), 0, 1))
+                                            jnp.asarray(h6)), 0, 1),
+                        np.float32)
         rec = {
             "probe_step": step,
             "sens_L1": round(float(np.mean(np.abs(o1 - o6))), 4),
