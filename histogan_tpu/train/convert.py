@@ -333,6 +333,179 @@ def convert_rehistogan_pt_file(path: str, image_size: int,
         load_torch_state_dict(path), image_size, style_depth)
 
 
+def _count(tree: Mapping, fmt: str) -> int:
+    n = 0
+    while fmt.format(n) in tree:
+        n += 1
+    return n
+
+
+def _inv_linear(tree: Mapping, prefix: str, out: Dict) -> None:
+    out[f"{prefix}.weight"] = np.ascontiguousarray(_t(tree["kernel"]).T)
+    out[f"{prefix}.bias"] = _t(tree["bias"])
+
+
+def _inv_conv(tree: Mapping, prefix: str, out: Dict) -> None:
+    out[f"{prefix}.weight"] = np.ascontiguousarray(
+        np.transpose(_t(tree["kernel"]), (3, 2, 0, 1)))
+    if "bias" in tree:
+        out[f"{prefix}.bias"] = _t(tree["bias"])
+
+
+def _inv_conv2dmod(tree: Mapping, prefix: str, out: Dict) -> None:
+    out[f"{prefix}.weight"] = np.ascontiguousarray(
+        np.transpose(_t(tree["weight"]), (3, 2, 0, 1)))
+
+
+def export_style_vectorizer(tree: Mapping, prefix: str, out: Dict) -> None:
+    for i in range(_count(tree, "fc{}")):
+        _inv_linear(tree[f"fc{i}"], f"{prefix}.net.{2 * i}", out)
+
+
+def export_hist_vectorizer(tree: Mapping, prefix: str, out: Dict) -> None:
+    for i in range(_count(tree, "fc{}")):
+        _inv_linear(tree[f"fc{i}"], f"{prefix}.fcs.{2 * i}", out)
+
+
+def export_generator_block(tree: Mapping, prefix: str, out: Dict) -> None:
+    for name in ("to_style1", "to_style2", "to_noise1", "to_noise2"):
+        _inv_linear(tree[name], f"{prefix}.{name}", out)
+    _inv_conv2dmod(tree["conv1"], f"{prefix}.conv1", out)
+    _inv_conv2dmod(tree["conv2"], f"{prefix}.conv2", out)
+    _inv_linear(tree["to_rgb"]["to_style"], f"{prefix}.to_rgb.to_style", out)
+    _inv_conv2dmod(tree["to_rgb"]["conv"], f"{prefix}.to_rgb.conv", out)
+
+
+def export_generator(tree: Mapping, prefix: str, out: Dict) -> None:
+    out[f"{prefix}.initial_block"] = np.ascontiguousarray(
+        np.transpose(_t(tree["initial_block"]), (2, 0, 1)))
+    for i in range(_count(tree, "blocks_{}")):
+        export_generator_block(tree[f"blocks_{i}"], f"{prefix}.blocks.{i}", out)
+
+
+def export_discriminator(tree: Mapping, prefix: str, out: Dict,
+                         vq_stats: Optional[Mapping] = None) -> None:
+    num_blocks = _count(tree, "blocks_{}")
+    for i in range(num_blocks):
+        blk = tree[f"blocks_{i}"]
+        b = f"{prefix}.blocks.{i}"
+        _inv_conv(blk["conv_res"], f"{b}.conv_res", out)
+        _inv_conv(blk["net0"], f"{b}.net.0", out)
+        _inv_conv(blk["net1"], f"{b}.net.2", out)
+        if "down" in blk:
+            _inv_conv(blk["down"], f"{b}.downsample", out)
+        for j in (0, 1):
+            if f"attn_{i}_{j}" not in tree:
+                continue
+            a = tree[f"attn_{i}_{j}"]
+            ap = f"{prefix}.attn_blocks.{i}.{j}.fn"
+            out[f"{ap}.g"] = _t(a["g"])
+            for q in ("to_q", "to_k", "to_v", "to_out"):
+                _inv_conv(a["attn"][q], f"{ap}.fn.{q}", out)
+        if vq_stats and f"vq_{i}" in vq_stats:
+            qp = f"{prefix}.quantize_blocks.{i}.fn"
+            for suffix in ("embed", "embed_avg", "cluster_size"):
+                out[f"{qp}.{suffix}"] = _t(vq_stats[f"vq_{i}"][suffix])
+    w = _t(tree["to_logit"]["kernel"]).T          # (1, 2*2*C), NHWC order
+    c = w.shape[1] // 4
+    w = w.reshape(1, 2, 2, c).transpose(0, 3, 1, 2).reshape(1, -1)
+    out[f"{prefix}.to_logit.weight"] = np.ascontiguousarray(w)
+    out[f"{prefix}.to_logit.bias"] = _t(tree["to_logit"]["bias"])
+
+
+def export_histogan_checkpoint(bundle: Mapping) -> Dict[str, np.ndarray]:
+    """Inverse of convert_histogan_checkpoint: {'params_g', 'params_d',
+    'ema'[, 'vq_stats']} -> the flat reference state-dict layout
+    (histoGAN/histoGAN.py:634-715, saved at :1121). Lets a model trained
+    here be loaded by the reference CLI, and provides reference-layout
+    bundles at any shape for converter validation."""
+    out: Dict[str, np.ndarray] = {}
+    export_style_vectorizer(bundle["params_g"]["S"], "S", out)
+    export_hist_vectorizer(bundle["params_g"]["H"], "H", out)
+    export_generator(bundle["params_g"]["G"], "G", out)
+    export_discriminator(bundle["params_d"], "D", out,
+                         bundle.get("vq_stats"))
+    export_style_vectorizer(bundle["ema"]["S"], "SE", out)
+    export_hist_vectorizer(bundle["ema"]["H"], "HE", out)
+    export_generator(bundle["ema"]["G"], "GE", out)
+    return out
+
+
+def export_encoder_block(tree: Mapping, prefix: str, out: Dict) -> None:
+    _inv_conv(tree["conv_res"], f"{prefix}.conv_res", out)
+    _inv_conv(tree["net0"], f"{prefix}.net.0", out)
+    _inv_conv(tree["net1"], f"{prefix}.net.3", out)
+    _inv_conv(tree["down"], f"{prefix}.downsample", out)
+
+
+def export_decoder_block(tree: Mapping, prefix: str, out: Dict) -> None:
+    _inv_conv(tree["block1"], f"{prefix}.block1.0", out)
+    _inv_conv(tree["block2"], f"{prefix}.block2.0", out)
+    _inv_conv(tree["conv_res"], f"{prefix}.conv_res", out)
+    _inv_conv(tree["conv_out_latent"], f"{prefix}.conv_out_latent.0", out)
+    _inv_conv(tree["conv_out_rgb"], f"{prefix}.conv_out_rgb", out)
+    if "to_latent" in tree:
+        _inv_linear(tree["to_latent"], f"{prefix}.to_latent", out)
+        _inv_conv2dmod(tree["conv_latent"], f"{prefix}.conv_latent", out)
+
+
+def export_encoder_decoder(tree: Mapping, prefix: str, out: Dict) -> None:
+    _inv_conv(tree["mapping"], f"{prefix}.mapping", out)
+    _inv_conv(tree["decoder_mapping"], f"{prefix}.decoder_mapping", out)
+    for i in range(_count(tree, "encoder_{}")):
+        export_encoder_block(tree[f"encoder_{i}"],
+                             f"{prefix}.encoder_blocks.{i}", out)
+    for i in range(_count(tree, "decoder_{}")):
+        export_decoder_block(tree[f"decoder_{i}"],
+                             f"{prefix}.decoder_blocks.{i}", out)
+    if "hist_projection" in tree:
+        export_hist_vectorizer(tree["hist_projection"],
+                               f"{prefix}.hist_projection", out)
+    for name in ("to_latent_1", "to_latent_2"):
+        if name in tree:
+            _inv_linear(tree[name], f"{prefix}.{name}", out)
+    for name in ("conv_latent_1", "conv_latent_2"):
+        if name in tree:
+            _inv_conv2dmod(tree[name], f"{prefix}.{name}", out)
+
+
+def export_rehistogan_checkpoint(bundle: Mapping) -> Dict[str, np.ndarray]:
+    """Inverse of convert_rehistogan_checkpoint (flat ED/H/G/D layout,
+    ReHistoGAN/rehistoGAN.py:637-718; no EMA in the reference format)."""
+    out: Dict[str, np.ndarray] = {}
+    export_encoder_decoder(bundle["params_g"]["ED"], "ED", out)
+    export_hist_vectorizer(bundle["params_g"]["H"], "H", out)
+    for i in range(_count(bundle["params_g"]["G"], "blocks_{}")):
+        export_generator_block(bundle["params_g"]["G"][f"blocks_{i}"],
+                               f"G.blocks.{i}", out)
+    export_discriminator(bundle["params_d"], "D", out,
+                         bundle.get("vq_stats"))
+    return out
+
+
+def save_pt_file(sd: Mapping[str, np.ndarray], path: str) -> None:
+    """Write a flat numpy state dict as a torch .pt the reference's
+    ``GAN.load_state_dict(torch.load(...))`` accepts."""
+    import torch
+
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}, path)
+
+
+def bundle_from_trainer(trainer) -> Dict:
+    """Snapshot a Trainer's weights as a convert-format bundle
+    (fp32 host copies; bf16 EMA storage is widened)."""
+    import jax
+
+    state = jax.device_get(trainer.state)
+    tree = {"params_g": state.params_g, "params_d": state.params_d}
+    if hasattr(state, "ema"):
+        tree["ema"] = state.ema
+    if getattr(state, "vq_stats", None):
+        tree["vq_stats"] = state.vq_stats
+    return jax.tree_util.tree_map(_t, tree)
+
+
 def install_into_rehisto_trainer(trainer, converted: Dict) -> None:
     """Load a converted recoloringGAN bundle into a RecoloringTrainer
     (optimizer state stays fresh). The trainer must have been constructed
