@@ -294,12 +294,27 @@ def measure_projection(n_steps: int = 40) -> dict:
         # near ~1 while it runs, so per-repeat gating would stall on
         # our own load; the opt-window protocol tolerates that level)
         wait_for_idle(max_wait_s=180.0, threshold=1.3, record=out)
-        for label, fn in (("z_space", projection.project_gaussian),
-                          ("style_space", projection.project_to_latent)):
+        # VGG-on row (VERDICT r4 #5): the reference's projection loop
+        # runs pixel+VGG by default (projection_gaussian.py:471-500).
+        # Weights come from VGG16_WEIGHTS if the user exported real
+        # ones; otherwise random full-shape weights — the compiled
+        # program (and steps/sec) is value-independent, weights are
+        # threaded through the jit as arguments.
+        vgg_env = os.environ.get("VGG16_WEIGHTS")
+        if not vgg_env or not os.path.exists(vgg_env):
+            from histogan_tpu.ops.vgg import random_vgg16_state
+
+            vgg_env = os.path.join(td, "vgg16_random.npz")
+            np.savez(vgg_env, **random_vgg16_state(0))
+        os.environ["VGG16_WEIGHTS"] = vgg_env
+        for label, fn, vgg_w in (
+                ("z_space", projection.project_gaussian, 0.0),
+                ("style_space", projection.project_to_latent, 0.0),
+                ("z_space_vgg", projection.project_gaussian, 0.001)):
             kw = dict(results_dir=os.path.join(td, f"res_{label}"),
                       num_train_steps=5 * chunk, save_every=5 * chunk,
                       log_every=0, chunk_steps=chunk,
-                      vgg_loss_weight=0.0, seed=0)
+                      vgg_loss_weight=vgg_w, seed=0)
             best = 0.0
             for _ in range(2):  # best-of-2; see measure() skew note
                 perf = {}

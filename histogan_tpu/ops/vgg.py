@@ -34,6 +34,33 @@ _MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
+# torchvision vgg16 'features' conv (index, in_channels, out_channels)
+# up to relu4_3 — the slice the perceptual loss consumes
+_VGG16_CONVS = [
+    (0, 3, 64), (2, 64, 64),
+    (5, 64, 128), (7, 128, 128),
+    (10, 128, 256), (12, 256, 256), (14, 256, 256),
+    (17, 256, 512), (19, 512, 512), (21, 512, 512),
+]
+
+
+def random_vgg16_state(seed: int = 0) -> dict:
+    """Random He-init weights in torchvision's vgg16 ``features``
+    state-dict layout, at the REAL shapes. For perf measurement and
+    dress rehearsals in this zero-egress environment: the compiled
+    program — and therefore steps/sec — is identical for random and
+    pretrained values (weights are threaded through the jit as
+    arguments, see VGGPerceptualLoss._loss)."""
+    rng = np.random.RandomState(seed)
+    out = {}
+    for idx, cin, cout in _VGG16_CONVS:
+        out[f"features.{idx}.weight"] = (
+            rng.standard_normal((cout, cin, 3, 3)) * np.sqrt(2.0 / (cin * 9))
+        ).astype(np.float32)
+        out[f"features.{idx}.bias"] = np.zeros(cout, np.float32)
+    return out
+
+
 def load_vgg16_weights(weights_path: Optional[str] = None) -> dict:
     """Load {conv_idx: (kernel_hwio, bias)} from a .pth state_dict or .npz."""
     path = weights_path or os.environ.get("VGG16_WEIGHTS")

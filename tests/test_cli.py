@@ -172,6 +172,44 @@ def test_projection_cli_project_and_recolor(tool, trained_model_dir, data_dir,
         "recolor mode must write an output image")
 
 
+def test_projection_cli_with_vgg_weights_active(trained_model_dir, data_dir,
+                                                monkeypatch, capsys):
+    """The projection CLI with VGG16_WEIGHTS set runs the reference's
+    default combined loss — pixel + VGG + style reg in ONE jitted
+    program (projection_gaussian.py:471-500) — with the VGG term LIVE,
+    not dropped by the no-weights fallback (VERDICT r4 #5). Narrow
+    channels keep the CPU cost down; the layout is torchvision's."""
+    rng = np.random.RandomState(0)
+    chans = {0: (3, 8), 2: (8, 8), 5: (8, 16), 7: (16, 16),
+             10: (16, 32), 12: (32, 32), 14: (32, 32),
+             17: (32, 64), 19: (64, 64), 21: (64, 64)}
+    raw = {}
+    for idx, (cin, cout) in chans.items():
+        raw[f"features.{idx}.weight"] = (
+            rng.standard_normal((cout, cin, 3, 3)).astype(np.float32) * 0.1)
+        raw[f"features.{idx}.bias"] = np.zeros(cout, np.float32)
+    monkeypatch.chdir(trained_model_dir)
+    np.savez("vgg_mini.npz", **raw)
+    monkeypatch.setenv("VGG16_WEIGHTS", str(trained_model_dir / "vgg_mini.npz"))
+
+    from histogan_tpu.cli import projection_gaussian as cli
+
+    cli.main([
+        "--name", "p", "--models_dir", "mod", "--results_dir", "res_vgg",
+        "--image_size", "32", "--network_capacity", "4", "--hist_bin", "16",
+        "--input_image", str(data_dir / "2.jpg"),
+        "--num_train_steps", "2", "--save_every", "2",
+        "--vgg_loss_weight", "0.01", "--log_every", "1", "--seed", "0",
+    ])
+    out = capsys.readouterr().out
+    assert "Disabling VGG loss" not in out
+    vgg_vals = [float(l.split("vgg loss = ")[1].split(",")[0])
+                for l in out.splitlines() if "vgg loss = " in l]
+    assert vgg_vals and all(np.isfinite(v) for v in vgg_vals)
+    assert max(vgg_vals) > 0.0
+    assert (Path("res_vgg/p/2") / "2_final.jpg").exists()
+
+
 @pytest.mark.parametrize("tool", ["histogan", "rehistogan"])
 def test_cli_perf_flags_plumbed(tool, monkeypatch):
     """--precision/--fp16/--sync_every/--device_dataset must reach the

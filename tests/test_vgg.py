@@ -96,6 +96,24 @@ def test_weight_loader_layout(vgg_npz):
     assert k.shape == (3, 3, 128, 256) and b.shape == (256,)
 
 
+def test_random_vgg16_state_layout(tmp_path):
+    """random_vgg16_state (bench's VGG-on projection row + dress
+    rehearsals) emits the exact torchvision layout at the REAL shapes —
+    pinned against the same loader that consumes downloaded weights."""
+    from histogan_tpu.ops.vgg import random_vgg16_state
+
+    raw = random_vgg16_state(0)
+    assert raw["features.0.weight"].shape == (64, 3, 3, 3)
+    assert raw["features.21.weight"].shape == (512, 512, 3, 3)
+    path = tmp_path / "vgg16_random.npz"
+    np.savez(path, **raw)
+    w = load_vgg16_weights(str(path))
+    assert set(w) == {i for i, _, _ in _CFG}
+    for i, cin, cout in _CFG:
+        k, b = w[i]
+        assert k.shape == (3, 3, cin, cout) and b.shape == (cout,)
+
+
 def test_feature_loss_parity_noresize(vgg_npz):
     path, features = vgg_npz
     jl = VGGPerceptualLoss(weights_path=path, resize=False)
