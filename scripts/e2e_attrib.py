@@ -36,7 +36,7 @@ def fetch(tree):
 
 
 def run_family(rehisto: bool, data: str, steps: int,
-               batch: int = 16, opt: str = None):
+               batch: int = 16, opt: str = None, ema: str = None):
     fam = "rehistogan" if rehisto else "histogan"
     print(f"\n==== {fam} ====", flush=True)
     if rehisto:
@@ -60,6 +60,7 @@ def run_family(rehisto: bool, data: str, steps: int,
             models_dir="/tmp/attrib_models", image_size=256,
             network_capacity=16, batch_size=batch,
             gradient_accumulate_every=1, opt_state_dtype=opt,
+            ema_dtype=ema,
             precision="bf16", sync_every=10 ** 9, save_every=10 ** 9,
         )
         tr.set_data_src(data)
@@ -123,13 +124,16 @@ def main():
     ap.add_argument("--data", default="/tmp/e2e_data")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--opt", default=None, choices=(None, "fp32", "bf16"))
+    ap.add_argument("--ema", default=None, choices=(None, "fp32", "bf16"),
+                    help="histoGAN Trainer ema_dtype (rehisto has no EMA)")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.join(ROOT, "scripts"))
     from bench_e2e import make_synthetic_dataset
 
     make_synthetic_dataset(args.data)
-    h = run_family(False, args.data, args.steps, args.batch, args.opt)
+    h = run_family(False, args.data, args.steps, args.batch, args.opt,
+                   args.ema)
     r = run_family(True, args.data, args.steps, args.batch, args.opt)
     print("\n==== summary (same link window) ====", flush=True)
     for fam, d in (("histogan", h), ("rehistogan", r)):
