@@ -61,7 +61,8 @@ def train_from_folder(
     attn_layers=(), hist_method="inverse-quadratic", hist_resizing="sampling",
     hist_sigma=0.02, hist_bin=64, hist_insz=150, alpha=2, target_hist=None,
     aug_prob=0.0, dataset_aug_prob=0.0, aug_types=None, seed=42,
-    num_devices=None, load_pt=None, precision="fp32", sync_every=1,
+    num_devices=None, load_pt=None, export_pt=None, precision="fp32",
+    sync_every=1,
     device_dataset="auto", calculate_fid_every=None, split_step=False,
     param_sharding="replicated", opt_state_dtype=None, ema_dtype=None,
     remat=False,
@@ -100,6 +101,18 @@ def train_from_folder(
         convert.install_into_trainer(
             model, convert.convert_pt_file(load_pt, image_size))
         print(f"installed converted reference checkpoint {load_pt}")
+
+    if export_pt is not None:
+        # inverse workflow: train here, run on the reference
+        # (train/convert.py export_histogan_checkpoint)
+        from histogan_tpu.train import convert
+
+        sd = convert.export_histogan_checkpoint(
+            convert.bundle_from_trainer(model))
+        convert.save_pt_file(sd, export_pt)
+        print(f"exported reference-layout checkpoint to {export_pt} "
+              f"({len(sd)} tensors)")
+        return
 
     if generate:
         timestamp = datetime.now().strftime("%m-%d-%Y_%H-%M-%S")
@@ -176,6 +189,9 @@ def get_args(argv=None):
     add("--load_from", type=int, default=-1)
     add("--load_pt", default=None, type=str,
         help="Convert+install a published reference .pt checkpoint.")
+    add("--export_pt", default=None, type=str,
+        help="Export the loaded model as a reference-layout .pt "
+             "(loadable by the reference CLI) and exit.")
     add("--image_size", type=int, default=256)
     add("--network_capacity", type=int, default=16)
     add("--transparent", type=str2bool, default=False)
@@ -279,6 +295,7 @@ def main(argv=None):
         target_hist=args.target_hist, alpha=args.alpha, aug_prob=args.aug_prob,
         dataset_aug_prob=args.dataset_aug_prob, aug_types=args.aug_types,
         seed=args.seed, num_devices=args.num_devices, load_pt=args.load_pt,
+        export_pt=args.export_pt,
         precision=args.precision or ("bf16" if args.fp16 else "fp32"),
         sync_every=args.sync_every,
         device_dataset={"true": True, "false": False}.get(

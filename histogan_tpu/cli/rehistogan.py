@@ -133,6 +133,7 @@ def train_from_folder(
     upsampling_method="pyramid", swapping_levels=1, pyramid_levels=6,
     level_blending=False, post_recoloring=False,
     histogram_pool="histogram_data/histograms.npy", seed=42, load_pt=None,
+    export_pt=None,
     num_devices=None, precision="fp32", sync_every=1, device_dataset="auto",
     param_sharding="replicated", opt_state_dtype=None, remat=False,
     num_workers=None,
@@ -195,6 +196,18 @@ def train_from_folder(
         model.init_GAN()
         if load_histogan_weights:
             transplant()
+
+    if export_pt is not None:
+        # inverse workflow: train here, run on the reference
+        # (train/convert.py export_rehistogan_checkpoint)
+        from histogan_tpu.train import convert
+
+        sd = convert.export_rehistogan_checkpoint(
+            convert.bundle_from_trainer(model))
+        convert.save_pt_file(sd, export_pt)
+        print(f"exported reference-layout checkpoint to {export_pt} "
+              f"({len(sd)} tensors)")
+        return
 
     if generate:
         if input_image is None:
@@ -263,6 +276,9 @@ def get_args(argv=None):
     add("--load_from", type=int, default=-1)
     add("--load_pt", default=None, type=str,
         help="Convert+install a published reference recoloring .pt.")
+    add("--export_pt", default=None, type=str,
+        help="Export the loaded model as a reference-layout .pt "
+             "(loadable by the reference CLI) and exit.")
     add("--image_size", type=int, default=256)
     add("--network_capacity", type=int, default=16)
     add("--transparent", type=str2bool, default=False)
@@ -392,7 +408,8 @@ def main(argv=None):
         level_blending=args.level_blending,
         post_recoloring=args.post_recoloring,
         histogram_pool=args.histogram_pool, seed=args.seed,
-        load_pt=args.load_pt, num_devices=args.num_devices,
+        load_pt=args.load_pt, export_pt=args.export_pt,
+        num_devices=args.num_devices,
         precision=args.precision or ("bf16" if args.fp16 else "fp32"),
         sync_every=args.sync_every,
         device_dataset={"true": True, "false": False}.get(

@@ -4,6 +4,7 @@ import json
 import os
 from pathlib import Path
 
+import jax
 import numpy as np
 import pytest
 from PIL import Image
@@ -170,6 +171,47 @@ def test_projection_cli_project_and_recolor(tool, trained_model_dir, data_dir,
         Path(f"res_{tool}/p").rglob("*recolor*"))
     assert recolored or list(out_dir.glob("*.jpg")), (
         "recolor mode must write an output image")
+
+
+def test_histogan_cli_export_pt(trained_model_dir, monkeypatch):
+    """--export_pt: a checkpoint trained HERE exports to the reference
+    state-dict layout and round-trips through the import converter —
+    the CLI face of the train-here/run-on-reference workflow."""
+    monkeypatch.chdir(trained_model_dir)
+    from histogan_tpu.cli import histogan as cli
+    from histogan_tpu.train import convert
+
+    cli.main([
+        "--name", "p", "--models_dir", "mod", "--results_dir", "res",
+        "--image_size", "32", "--network_capacity", "4", "--hist_bin", "16",
+        "--num_devices", "1", "--export_pt", "exported.pt",
+    ])
+    assert Path("exported.pt").exists()
+    back = convert.convert_pt_file("exported.pt", 32)
+    assert set(back["params_g"]) == {"S", "H", "G"}
+    assert "ema" in back
+    # EMA must be fp32 in the file even under ema_dtype knobs
+    leaf = next(iter(jax.tree_util.tree_leaves(back["ema"])))
+    assert leaf.dtype == np.float32
+
+
+def test_rehistogan_cli_export_pt(tmp_path, monkeypatch):
+    """rehistogan --export_pt on a fresh model writes a reference-layout
+    recoloring .pt the import converter accepts (variant flags
+    round-trip: skip_conn_to_GAN on, internal_hist off)."""
+    monkeypatch.chdir(tmp_path)
+    from histogan_tpu.cli import rehistogan as cli
+    from histogan_tpu.train import convert
+
+    cli.main([
+        "--name", "rp", "--models_dir", "mod", "--results_dir", "res",
+        "--image_size", "32", "--network_capacity", "4", "--hist_bin", "16",
+        "--new", "True", "--export_pt", "rexported.pt",
+    ])
+    assert Path("rexported.pt").exists()
+    back = convert.convert_rehistogan_pt_file("rexported.pt", 32)
+    assert set(back["params_g"]) == {"ED", "H", "G"}
+    assert back["skip_conn_to_GAN"] and not back["internal_hist"]
 
 
 def test_projection_cli_with_vgg_weights_active(trained_model_dir, data_dir,
