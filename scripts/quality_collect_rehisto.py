@@ -98,7 +98,7 @@ a real failure mode: the reference Hellinger loss
 per-image hist gradient scales as alpha/sqrt(B) while rec/adv terms are
 batch-invariant — at the TPU-efficient B=32 the hist term is 4x weaker
 than in the reference's B=2 regime, and output sensitivity to the
-target histogram collapsed (docs/DESIGN.md "reHistoGAN conditioning").
+target histogram collapsed (docs/DESIGN.md "Hellinger loss batch scaling").
 This run uses the batch-compensated alpha = 32*sqrt(B/2), and the
 in-run probe (4 fixed real inputs recolored toward the two most
 different bundled targets, every 2k steps) shows conditioning holds:
