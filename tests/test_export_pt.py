@@ -157,6 +157,61 @@ def test_rehistogan_flagship_roundtrip(rehisto_bundle):
     _assert_bitwise(rehisto_bundle["params_d"], back["params_d"])
 
 
+def test_rehistogan_internal_hist_roundtrip():
+    """The OTHER reference recoloring variant (internal_hist: per-block
+    to_latent/conv_latent + ED.hist_projection, no skip-latent heads) —
+    toy shapes; the flagship test covers the skip_conn variant at size.
+    Pins that export emits the variant's keys and the importer
+    auto-detects it back."""
+    from histogan_tpu.models import (Discriminator, HistVectorizer,
+                                     RecoloringEncoderDecoder, RecoloringGAN)
+    from histogan_tpu.models.generator import generator_filters
+
+    size, cap, latent, depth, hist_bin = 32, 4, 32, 2, 16
+    key = jax.random.PRNGKey(0)
+    # internal_hist quirk: `hists` is the PRE-projected latent vector
+    # (models/rehisto.py:150), not the raw (B,3,h,h) feature
+    ed_shapes = jax.eval_shape(
+        RecoloringEncoderDecoder(size, cap, hist_bin, latent, depth,
+                                 skip_conn_to_GAN=False,
+                                 internal_hist=True).init, key,
+        jax.ShapeDtypeStruct((1, size, size, 3), jnp.float32),
+        jax.ShapeDtypeStruct((1, latent), jnp.float32),
+    )["params"]
+    pairs = generator_filters(size, cap)[-2:]
+    g_shapes = jax.eval_shape(
+        RecoloringGAN(size, latent, cap).init, key,
+        jax.ShapeDtypeStruct((1, size // 4, size // 4, pairs[0][0]),
+                             jnp.float32),
+        None,
+        jax.ShapeDtypeStruct((1, latent), jnp.float32),
+        jax.ShapeDtypeStruct((1, size, size, 1), jnp.float32),
+    )["params"]
+    d_shapes = jax.eval_shape(
+        Discriminator(size, cap).init, key,
+        jax.ShapeDtypeStruct((1, size, size, 3), jnp.float32),
+    )["params"]
+    h_shapes = jax.eval_shape(
+        HistVectorizer(hist_bin, latent, depth).init, key,
+        jax.ShapeDtypeStruct((1, 3, hist_bin, hist_bin), jnp.float32),
+    )["params"]
+    bundle = {
+        "params_g": {"ED": _rand_like(ed_shapes, 21),
+                     "H": _rand_like(h_shapes, 22),
+                     "G": _rand_like(g_shapes, 23)},
+        "params_d": _rand_like(d_shapes, 24),
+    }
+    sd = convert.export_rehistogan_checkpoint(bundle)
+    assert "ED.decoder_blocks.0.to_latent.weight" in sd   # internal_hist
+    assert "ED.conv_latent_1.weight" not in sd            # no skip heads
+    assert "ED.hist_projection.fcs.0.weight" not in sd    # skip-only module
+
+    back = convert.convert_rehistogan_checkpoint(sd, size, depth)
+    assert back["internal_hist"] and not back["skip_conn_to_GAN"]
+    _assert_bitwise(bundle["params_g"], back["params_g"])
+    _assert_bitwise(bundle["params_d"], back["params_d"])
+
+
 def test_rehistogan_pt_file_roundtrip(rehisto_bundle, tmp_path):
     torch = pytest.importorskip("torch")  # noqa: F841
 
