@@ -592,28 +592,46 @@ class Trainer:
         """EMA sampling with truncation (histoGAN/histoGAN.py:1064-1091).
 
         ``style``: (N, latent) z batch (single-z noise_list semantics).
+
+        The S/truncation/H/tile-doubling prelude runs as ONE cached jit
+        (r5: timed eagerly it costs ~50 small dispatches — 258 vs 30
+        ms/batch over a high-latency link, scripts/bench_sampling.py);
+        generation stays chunked at cfg.batch_size so the G program
+        size is bounded (evaluate_in_chunks, histoGAN/histoGAN.py:
+        206-212). ``av`` is resolved on the host BEFORE tracing and
+        threaded as a jit argument (reference caches it once the same
+        way, histoGAN/histoGAN.py:1068-1072).
         """
         cfg = self.cfg
         if self.av is None:
             self.av = self.compute_av(params["S"])
-        w = self.S.apply({"params": params["S"]}, style)
-        av = jnp.asarray(self.av)
-        w = trunc_psi * (w - av) + av
         nl = cfg.num_layers
-        w_styles = jnp.tile(w[:, None, :], (1, nl - 2, 1))
+        n = style.shape[0]
 
-        h_w = self.H.apply({"params": params["H"]}, hist_batch)
-        h_rows = jnp.stack([h_w, h_w], axis=1)
-        # tile doubling to match latent batch (histoGAN/histoGAN.py:1085-1086)
-        for _ in range(int(np.log2(np.sqrt(w.shape[0])))):
-            h_rows = jnp.concatenate([h_rows, h_rows], axis=0)
-        h_rows = h_rows[: w.shape[0]]
+        key = ("gen_prelude", n, hist_batch.shape, float(trunc_psi))
+        if key not in self._gen_cache:
+
+            def prelude(p, hists, z, av):
+                w = self.S.apply({"params": p["S"]}, z)
+                w = trunc_psi * (w - av) + av
+                w_styles = jnp.tile(w[:, None, :], (1, nl - 2, 1))
+                h_w = self.H.apply({"params": p["H"]}, hists)
+                h_rows = jnp.stack([h_w, h_w], axis=1)
+                # tile doubling to match the latent batch
+                # (histoGAN/histoGAN.py:1085-1086)
+                for _ in range(int(np.log2(np.sqrt(n)))):
+                    h_rows = jnp.concatenate([h_rows, h_rows], axis=0)
+                return w_styles, h_rows[:n]
+
+            self._gen_cache[key] = jax.jit(prelude)
+        w_styles, h_rows = self._gen_cache[key](
+            params, hist_batch, style, jnp.asarray(self.av))
 
         # chunked generation (evaluate_in_chunks, histoGAN/histoGAN.py:206-212)
         outs = []
         bs = cfg.batch_size
         g_apply = self._cached_g_apply()
-        for s in range(0, w.shape[0], bs):
+        for s in range(0, n, bs):
             outs.append(
                 g_apply(params["G"], w_styles[s : s + bs], h_rows[s : s + bs],
                         noi[s : s + bs])
